@@ -1,0 +1,205 @@
+"""1-D convolutional building blocks, channels-last, XLA/TPU-friendly.
+
+Re-designed equivalents of the reference blocks
+(src/wav2sleep/models/blocks.py:8-186): same math, but operating on
+``[N, T, C]`` tensors so XLA lowers the convs directly onto the MXU without
+layout transposes. Parameter trees are structured so a mechanical converter
+can map PyTorch ``state_dict`` keys onto them (see wav2sleep_tpu/convert.py).
+
+Causality contract (reference blocks.py:149-153, 173-182): in causal mode the
+conv pads ``(k-1)*dilation`` on both sides and trims
+``max(padding - (stride-1), 0)`` samples from the right after the conv, which
+keeps norm statistics unskewed and aligns stride-2 residual branches.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .activations import get_activation
+from .norms import BatchNorm, get_norm
+
+# torch-style kaiming-uniform(a=sqrt(5)) equivalent: var = 1/(3*fan_in).
+conv_kernel_init = nn.initializers.variance_scaling(1.0 / 3.0, 'fan_in', 'uniform')
+
+
+class Conv1D(nn.Module):
+    """Bare 1-D convolution on [N, T, C] with explicit padding control.
+
+    Kernel is stored ``[K, C_in // groups, C_out]`` (XLA 'HIO' layout); a
+    PyTorch ``Conv1d.weight`` of shape ``[C_out, C_in//g, K]`` converts via a
+    (2, 1, 0) transpose.
+    """
+
+    features: int
+    kernel_size: int
+    stride: int = 1
+    padding: tuple[int, int] = (0, 0)
+    dilation: int = 1
+    groups: int = 1
+    use_bias: bool = True
+    weight_norm: bool = False
+
+    @nn.compact
+    def __call__(self, x_NTC: jnp.ndarray) -> jnp.ndarray:
+        in_features = x_NTC.shape[-1]
+        kshape = (self.kernel_size, in_features // self.groups, self.features)
+        if self.weight_norm:
+            # torch weight_norm(dim=0): per-output-channel direction/magnitude.
+            v = self.param('kernel_v', conv_kernel_init, kshape)
+            g = self.param('kernel_g', nn.initializers.ones, (self.features,))
+            norm = jnp.sqrt(jnp.sum(jnp.square(v), axis=(0, 1), keepdims=True) + 1e-12)
+            kernel = v / norm * g[None, None, :]
+        else:
+            kernel = self.param('kernel', conv_kernel_init, kshape)
+        y = lax.conv_general_dilated(
+            x_NTC,
+            kernel.astype(x_NTC.dtype),
+            window_strides=(self.stride,),
+            padding=(self.padding,),
+            rhs_dilation=(self.dilation,),
+            feature_group_count=self.groups,
+            dimension_numbers=('NHC', 'HIO', 'NHC'),
+        )
+        if self.use_bias:
+            bias = self.param('bias', nn.initializers.zeros, (self.features,))
+            y = y + bias.astype(y.dtype)
+        return y
+
+
+class ConvLayer1D(nn.Module):
+    """Conv + norm + activation + dropout (reference blocks.py:129-186)."""
+
+    features: int
+    kernel_size: int = 3
+    stride: int = 1
+    padding: int = 1
+    dilation: int = 1
+    dropout: float = 0.0
+    causal: bool = False
+    groups: int = 1
+    activation: str = 'relu'
+    use_bias: bool = False
+    norm: str | None = 'batch'
+    norm_eps: float | None = None
+
+    @nn.compact
+    def __call__(self, x_NTC: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        if self.causal:
+            pad = (self.kernel_size - 1) * self.dilation
+        else:
+            pad = self.padding
+        conv = Conv1D(
+            features=self.features,
+            kernel_size=self.kernel_size,
+            stride=self.stride,
+            padding=(pad, pad),
+            dilation=self.dilation,
+            groups=self.groups,
+            use_bias=self.use_bias or self.norm is None,
+            weight_norm=self.norm == 'weight',
+            name='conv',
+        )
+        out = conv(x_NTC)
+        if self.causal and pad > 0:
+            right_trim = max(pad - (self.stride - 1), 0)
+            if right_trim > 0:
+                out = out[:, : out.shape[1] - right_trim, :]
+        if self.norm != 'weight':
+            norm = get_norm(self.norm, num_features=self.features, norm_eps=self.norm_eps, module_name='norm')
+            if norm is not None:
+                if isinstance(norm, BatchNorm):
+                    out = norm(out, use_running_average=not train)
+                else:
+                    out = norm(out)
+        out = get_activation(self.activation)(out)
+        if self.dropout > 0.0:
+            out = nn.Dropout(rate=self.dropout, name='drop')(out, deterministic=not train)
+        return out
+
+
+class ConvBlock1D(nn.Module):
+    """Three conv layers with a stride-2 downsample on the third plus a 1x1
+    stride-2 residual projection (reference blocks.py:8-71)."""
+
+    features: int
+    dropout: float = 0.0
+    activation: str = 'leaky'
+    norm: str = 'batch'
+    causal: bool = False
+    norm_eps: float | None = None
+    use_residual: bool = True
+
+    @nn.compact
+    def __call__(self, x_NTC: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        def make(name: str, stride: int = 1) -> ConvLayer1D:
+            return ConvLayer1D(
+                features=self.features,
+                kernel_size=3,
+                stride=stride,
+                padding=1,
+                activation=self.activation,
+                norm=self.norm,
+                dropout=self.dropout,
+                causal=self.causal,
+                norm_eps=self.norm_eps,
+                name=name,
+            )
+
+        out = make('conv1')(x_NTC, train=train)
+        out = make('conv2')(out, train=train)
+        out = make('conv3', stride=2)(out, train=train)
+        if self.use_residual:
+            res = Conv1D(
+                features=self.features,
+                kernel_size=1,
+                stride=2,
+                padding=(0, 0),
+                use_bias=False,
+                name='downsample',
+            )(x_NTC)
+            out = out + res
+        return get_activation(self.activation)(out)
+
+
+class DilatedConvBlock(nn.Module):
+    """Residual stack of dilated conv layers with dilations ``2**i``
+    (reference blocks.py:74-126)."""
+
+    feature_dim: int = 128
+    dropout: float = 0.2
+    activation: str = 'leaky'
+    norm: str = 'batch'
+    kernel_size: int = 7
+    causal: bool = False
+    num_dilations: int = 6
+
+    @property
+    def dilations(self) -> Sequence[int]:
+        return [2**i for i in range(self.num_dilations)]
+
+    @nn.compact
+    def __call__(self, x_NTC: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        out = x_NTC
+        for j, dilation in enumerate(self.dilations):
+            k_eff = self.kernel_size + (self.kernel_size - 1) * (dilation - 1)
+            out = ConvLayer1D(
+                features=self.feature_dim,
+                kernel_size=self.kernel_size,
+                stride=1,
+                dilation=dilation,
+                padding=k_eff // 2,
+                activation=self.activation,
+                norm=self.norm,
+                causal=self.causal,
+                name=f'convs_{j}',
+            )(out, train=train)
+        if self.dropout > 0.0:
+            out = nn.Dropout(rate=self.dropout, name='drop')(out, deterministic=not train)
+        out = out + x_NTC
+        return get_activation(self.activation)(out)

@@ -1,0 +1,100 @@
+"""Native (C++) kernel loader.
+
+The reference leans on compiled extensions for its CPU hot loops (Numba for
+EMA normalization, pyedflib's C core for EDF decode). Here those are C++
+sources under ``native/src`` compiled once into a shared library and bound
+via ctypes. If no compiler is available the callers fall back to pure
+numpy/JAX implementations.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import logging
+import os
+import subprocess
+import threading
+
+logger = logging.getLogger(__name__)
+
+_DIR = os.path.dirname(__file__)
+_SRC_DIR = os.path.join(_DIR, 'src')
+_LIB_PATH = os.path.join(_DIR, '_libw2s.so')
+
+_lock = threading.Lock()
+_lib: ctypes.CDLL | None = None
+_load_failed = False
+
+
+def _sources() -> list[str]:
+    return sorted(
+        os.path.join(_SRC_DIR, f) for f in os.listdir(_SRC_DIR) if f.endswith('.cpp')
+    )
+
+
+def _needs_rebuild() -> bool:
+    if not os.path.exists(_LIB_PATH):
+        return True
+    lib_mtime = os.path.getmtime(_LIB_PATH)
+    return any(os.path.getmtime(src) > lib_mtime for src in _sources())
+
+
+def build(force: bool = False) -> str | None:
+    """Compile the native library. Returns the .so path or None on failure."""
+    if not force and not _needs_rebuild():
+        return _LIB_PATH
+    srcs = _sources()
+    if not srcs:
+        return None
+    cmd = ['g++', '-O3', '-std=c++17', '-shared', '-fPIC', '-o', _LIB_PATH, *srcs]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=300)
+    except (OSError, subprocess.SubprocessError) as e:
+        logger.warning(f'Native build failed ({e}); falling back to pure-Python kernels.')
+        return None
+    return _LIB_PATH
+
+
+def get_lib() -> ctypes.CDLL | None:
+    """Return the loaded native library, building it on first use."""
+    global _lib, _load_failed
+    if _lib is not None or _load_failed:
+        return _lib
+    with _lock:
+        if _lib is not None or _load_failed:
+            return _lib
+        path = build()
+        if path is None:
+            _load_failed = True
+            return None
+        try:
+            lib = ctypes.CDLL(path)
+        except OSError as e:
+            logger.warning(f'Failed to load native library: {e}')
+            _load_failed = True
+            return None
+        _configure(lib)
+        _lib = lib
+    return _lib
+
+
+def _configure(lib: ctypes.CDLL) -> None:
+    import numpy.ctypeslib as npc
+    import numpy as np
+
+    f64 = npc.ndpointer(dtype=np.float64, flags='C_CONTIGUOUS')
+    f32 = npc.ndpointer(dtype=np.float32, flags='C_CONTIGUOUS')
+    u8 = npc.ndpointer(dtype=np.uint8, flags='C_CONTIGUOUS')
+    c_double = ctypes.c_double
+    c_i64 = ctypes.c_int64
+
+    lib.w2s_ema_stats.argtypes = [
+        f64, c_i64, c_double, c_double, c_double, c_double, c_double, c_double, c_double,
+        f64, f64, u8,
+    ]
+    lib.w2s_ema_stats.restype = None
+    lib.w2s_ema_normalize_f32.argtypes = [
+        f32, c_i64, c_double, c_double, c_double, c_double, c_double, c_double, c_double,
+        f32, u8,
+    ]
+    lib.w2s_ema_normalize_f32.restype = None

@@ -1,0 +1,61 @@
+"""Device mesh + sharding helpers.
+
+The reference's only model-parallelism is DDP over GPUs
+(scripts/config/training/main.yaml:17-20, trainer/main.py:41-46). The TPU
+equivalent is a ``jax.sharding.Mesh`` with a ``data`` axis: batches are
+sharded across it, parameters are replicated, and XLA inserts the gradient
+``psum`` over ICI automatically when the loss is jitted with these shardings.
+A ``model`` axis is kept in the mesh signature for forward-compatibility
+(it is size 1 for this model family — see SURVEY.md §2.7: TP/PP/EP are
+intentionally not built).
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = 'data'
+MODEL_AXIS = 'model'
+
+
+def make_mesh(devices=None, data: int | None = None, model: int = 1) -> Mesh:
+    """Create a (data, model) mesh over the available devices."""
+    if devices is None:
+        devices = jax.devices()
+    n = len(devices)
+    if data is None:
+        data = n // model
+    if data * model != n:
+        raise ValueError(f'{data=} * {model=} != {n} devices')
+    dev_array = np.asarray(devices).reshape(data, model)
+    return Mesh(dev_array, axis_names=(DATA_AXIS, MODEL_AXIS))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (batch) axis across the data axis."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch):
+    """Device-put a pytree of arrays with the batch axis sharded over data."""
+    sharding = batch_sharding(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), batch)
+
+
+def replicate(mesh: Mesh, tree):
+    """Device-put a pytree fully replicated across the mesh."""
+    sharding = replicated(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def local_batch_size(global_batch: int, mesh: Mesh) -> int:
+    n_data = mesh.shape[DATA_AXIS]
+    if global_batch % n_data:
+        raise ValueError(f'{global_batch=} not divisible by data-parallel size {n_data}')
+    return global_batch // n_data
