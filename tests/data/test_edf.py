@@ -1,0 +1,117 @@
+"""EDF reader tests: round-trip through our minimal writer + semantics checks."""
+
+import datetime
+
+import numpy as np
+import pytest
+
+from wav2sleep_tpu.data.edf import (
+    get_column_match,
+    get_edf_end,
+    get_edf_signals,
+    get_edf_start,
+    get_unit_scaling,
+    load_edf_data,
+    read_edf_header,
+    write_edf,
+)
+
+
+@pytest.fixture
+def edf_file(tmp_path):
+    rng = np.random.default_rng(0)
+    n_sec = 120
+    ecg = (np.sin(np.arange(128 * n_sec) / 10) * 500).astype(np.float64)  # uV scale
+    abd = rng.uniform(-0.9, 0.9, size=32 * n_sec)  # stay inside the (-1, 1) physical range
+    fp = str(tmp_path / 'night.edf')
+    write_edf(
+        fp,
+        signals={'EKG': ecg, 'ABDO RES': abd, 'SpO2': rng.normal(size=1 * n_sec)},
+        sampling_freqs={'EKG': 128.0, 'ABDO RES': 32.0, 'SpO2': 1.0},
+        units={'EKG': 'uV', 'ABDO RES': ''},
+        physical_ranges={'EKG': (-1000.0, 1000.0), 'ABDO RES': (-1.0, 1.0)},
+        start=datetime.datetime(2001, 6, 15, 22, 30, 5),
+        record_duration=1.0,
+    )
+    return fp, ecg, abd
+
+
+def test_header_roundtrip(edf_file):
+    fp, *_ = edf_file
+    h = read_edf_header(fp)
+    assert h.n_records == 120
+    assert [c.label for c in h.channels] == ['EKG', 'ABDO RES', 'SpO2']
+    assert h.channels[0].samples_per_record == 128
+    assert get_edf_start(fp) == datetime.datetime(2001, 6, 15, 22, 30, 5)
+    assert get_edf_end(fp) == datetime.datetime(2001, 6, 15, 22, 32, 5)
+
+
+def test_load_with_alias_and_scaling(edf_file):
+    fp, ecg, abd = edf_file
+    df, metadata = load_edf_data(fp, columns=['ECG', 'ABD'])
+    # EKG alias resolved; uV converted to mV.
+    np.testing.assert_allclose(df['ECG'].dropna().to_numpy(), ecg * 1e-3, atol=2e-4)
+    # ABD normalized to [-1, 1] via physical range (already (-1,1) -> identity).
+    np.testing.assert_allclose(df['ABD'].dropna().to_numpy(), abd, atol=1e-4)
+    assert metadata['ECG']['norm_method'] == 'voltage_to_mV'
+    assert metadata['ECG']['sampling_freq'] == 128.0
+    assert metadata['ABD']['norm_method'] == 'physical_range'
+
+
+def test_arbitrary_range_normalization(tmp_path):
+    """ABD with physical range (0, 4) must map to [-1, 1] about the center."""
+    x = np.linspace(0.5, 3.5, 32 * 60)
+    fp = str(tmp_path / 'r.edf')
+    write_edf(fp, {'ABD': x}, {'ABD': 32.0}, physical_ranges={'ABD': (0.0, 4.0)})
+    df, md = load_edf_data(fp, columns=['ABD'])
+    got = df['ABD'].to_numpy()
+    np.testing.assert_allclose(got, (x - 2.0) / 2.0, atol=1e-3)
+    assert md['ABD']['norm_scale'] == pytest.approx(0.5)
+
+
+def test_broken_unit_skipped(tmp_path):
+    x = np.zeros(128 * 30)
+    fp = str(tmp_path / 'b.edf')
+    write_edf(
+        fp,
+        {'ECG': x, 'EKG': x + 1},
+        {'ECG': 128.0, 'EKG': 128.0},
+        units={'ECG': 'BROKEN', 'EKG': 'uV'},
+        physical_ranges={'ECG': (-1, 1), 'EKG': (-1, 3)},
+    )
+    assert get_column_match('ECG', ['ECG', 'EKG'], units_map={'ECG': 'BROKEN', 'EKG': 'uV'}) == 'EKG'
+    df, md = load_edf_data(fp, columns=['ECG'])
+    # The broken 'ECG' channel is skipped in favour of the EKG alias.
+    assert md['ECG']['unit'] == 'uV'
+
+
+def test_missing_column_behaviour(edf_file):
+    fp, *_ = edf_file
+    with pytest.raises(KeyError):
+        load_edf_data(fp, columns=['PPG'])
+    df, md = load_edf_data(fp, columns=['PPG', 'ECG'], raise_on_missing=False)
+    assert 'PPG' not in df.columns and 'ECG' in df.columns
+
+
+def test_convert_time_index(edf_file):
+    fp, *_ = edf_file
+    df, _ = load_edf_data(fp, columns=['ECG'], convert_time=True)
+    assert df.index[0] == datetime.datetime(2001, 6, 15, 22, 30, 5)
+
+
+def test_get_edf_signals(edf_file):
+    fp, *_ = edf_file
+    sigs = get_edf_signals(fp)
+    assert 'ECG' in sigs  # converted from EKG
+    assert sigs['ECG']['sampling_rate'] == 128.0
+    raw = get_edf_signals(fp, convert=False)
+    assert 'EKG' in raw
+
+
+def test_unit_scaling_table():
+    assert get_unit_scaling('ECG', 'uV') == 1e-3
+    assert get_unit_scaling('ECG', 'mV') == 1
+    assert get_unit_scaling('ECG', 'Volts') == 1e3
+    assert get_unit_scaling('ABD', 'uV') == 1.0  # non-voltage: no scaling
+    assert get_unit_scaling('ECG', '') == 1.0
+    assert get_unit_scaling('ECG', 'weird') == 1.0
