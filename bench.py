@@ -1,0 +1,201 @@
+"""Benchmark: overnight recordings/hour/chip, EDF -> hypnogram.
+
+Measures the full inference pipeline on the flagship wav2sleep model
+(4 cardio-respiratory modalities, feature_dim 128): EDF decode -> per-signal
+resampling onto model grids -> per-recording z-score normalization -> batched
+jit forward on the TPU -> argmax hypnogram. Host preprocessing overlaps
+device compute via a prefetch thread.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Baseline: 5,000 recordings/hour on a v5e-8 => 625 recordings/hour/chip
+(BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime
+import json
+import os
+import queue
+import tempfile
+import threading
+import time
+
+import numpy as np
+
+BASELINE_PER_CHIP = 5000.0 / 8.0  # recordings/hour/chip
+
+
+def generate_edfs(folder: str, n_nights: int, hours: float, seed: int = 0) -> list[str]:
+    """Synthetic 4-signal overnight EDFs (30 s records: ECG/PPG 1024, ABD/THX
+    256 samples per record — the exact model grid rates)."""
+    from wav2sleep_tpu.data.edf import write_edf
+
+    rng = np.random.default_rng(seed)
+    n_records = int(hours * 120)
+    fps = []
+    for i in range(n_nights):
+        n_ecg = 1024 * n_records
+        n_resp = 256 * n_records
+        t_e = np.arange(n_ecg)
+        signals = {
+            'ECG': (np.sin(t_e / 12.0) + 0.1 * rng.normal(size=n_ecg)) * 800.0,
+            'Pleth': np.sin(np.arange(n_ecg) / 30.0) * 0.7,
+            'ABDO RES': np.sin(np.arange(n_resp) / 40.0) * 0.6,
+            'THOR RES': np.sin(np.arange(n_resp) / 40.0 + 0.5) * 0.6,
+        }
+        fp = os.path.join(folder, f'night{i:03d}.edf')
+        write_edf(
+            fp,
+            signals=signals,
+            sampling_freqs={'ECG': 1024 / 30, 'Pleth': 1024 / 30, 'ABDO RES': 256 / 30, 'THOR RES': 256 / 30},
+            units={'ECG': 'uV'},
+            physical_ranges={'ECG': (-2000, 2000), 'Pleth': (-1, 1), 'ABDO RES': (-1, 1), 'THOR RES': (-1, 1)},
+            record_duration=30.0,
+            start=datetime.datetime(2002, 3, 1, 22, 0, 0),
+        )
+        fps.append(fp)
+    return fps
+
+
+def host_pipeline(fp: str, signals: list[str], max_length_hours: float):
+    """EDF -> normalized model-ready arrays (the host side of the pipeline)."""
+    from wav2sleep_tpu.data.dataset import zscore_normalize
+    from wav2sleep_tpu.data.edf import load_edf_data
+    from wav2sleep_tpu.data.preprocessing import resample_signal
+
+    df, _meta = load_edf_data(fp, columns=signals, raise_on_missing=False)
+    t = np.asarray(df.index, dtype=np.float64)
+    out = {}
+    for col in signals:
+        if col in df.columns:
+            vals = df[col].to_numpy(dtype=np.float64)
+            mask = ~np.isnan(vals)
+            out[col] = resample_signal(t[mask], vals[mask], col, max_length_hours)
+        else:
+            from wav2sleep_tpu.settings import COLS_TO_SAMPLES_PER_EPOCH
+
+            n = int(COLS_TO_SAMPLES_PER_EPOCH[col] * max_length_hours * 120)
+            out[col] = np.full(n, -np.inf, dtype=np.float32)
+    return zscore_normalize(out)
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument('--nights', type=int, default=24)
+    parser.add_argument('--batch', type=int, default=8)
+    parser.add_argument('--hours', type=float, default=10.0)
+    parser.add_argument('--precision', default='bfloat16', choices=['float32', 'bfloat16'])
+    parser.add_argument('--feature-dim', type=int, default=128)
+    parser.add_argument('--verbose', action='store_true')
+    args = parser.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update('jax_compilation_cache_dir', os.path.join(os.path.dirname(__file__), '.cache', 'jax'))
+    jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.5)
+
+    from __graft_entry__ import _flagship_model
+
+    signals = ['ABD', 'THX', 'ECG', 'PPG']
+    model, _cfg = _flagship_model(feature_dim=args.feature_dim)
+    S = int(args.hours * 120)
+
+    # --- generate corpus (not timed) ---
+    tmp = tempfile.mkdtemp(prefix='w2s_bench_')
+    n_files = min(args.nights, 8)  # distinct files; re-queued to reach --nights
+    fps = generate_edfs(tmp, n_files, args.hours)
+    work = [fps[i % n_files] for i in range(args.nights)]
+
+    # --- build + warm up the device program (not timed) ---
+    dtype = jnp.bfloat16 if args.precision == 'bfloat16' else jnp.float32
+    example = host_pipeline(fps[0], signals, args.hours)
+    # Abstract init (no device compute; params are S-independent so 2 epochs
+    # of input suffice), then materialize random params once.
+    from wav2sleep_tpu.settings import COLS_TO_SAMPLES_PER_EPOCH
+
+    tiny = {k: np.zeros((1, COLS_TO_SAMPLES_PER_EPOCH[k] * 2), np.float32) for k in signals}
+    var_shapes = jax.eval_shape(lambda: model.init(jax.random.PRNGKey(0), tiny))
+    rng = np.random.default_rng(0)
+    variables = jax.tree_util.tree_map(
+        lambda s: jnp.asarray(rng.normal(size=s.shape, scale=0.05), dtype), var_shapes
+    )
+
+    @jax.jit
+    def forward(variables, x):
+        return jnp.argmax(model.apply(variables, x), axis=-1).astype(jnp.int32)
+
+    def make_batch(items):
+        return {k: jnp.asarray(np.stack([it[k] for it in items]), dtype) for k in items[0]}
+
+    warm = make_batch([example] * args.batch)
+    t0 = time.time()
+    jax.block_until_ready(forward(variables, warm))
+    compile_s = time.time() - t0
+    t0 = time.time()
+    jax.block_until_ready(forward(variables, warm))
+    device_s = time.time() - t0
+
+    # --- timed: host decode/resample/normalize overlapped with device ---
+    q: queue.Queue = queue.Queue(maxsize=4)
+
+    def producer():
+        batch_items = []
+        for fp in work:
+            batch_items.append(host_pipeline(fp, signals, args.hours))
+            if len(batch_items) == args.batch:
+                q.put(make_batch(batch_items))
+                batch_items = []
+        if batch_items:
+            pad = [batch_items[-1]] * (args.batch - len(batch_items))
+            q.put((make_batch(batch_items + pad), len(batch_items)))
+        q.put(None)
+
+    start = time.time()
+    thread = threading.Thread(target=producer, daemon=True)
+    thread.start()
+    hypnograms = []
+    processed = 0
+    while True:
+        item = q.get()
+        if item is None:
+            break
+        if isinstance(item, tuple):
+            batch, real = item
+        else:
+            batch, real = item, args.batch
+        preds = forward(variables, batch)
+        hypnograms.append(np.asarray(preds)[:real])
+        processed += real
+    elapsed = time.time() - start
+    per_hour_per_chip = processed / elapsed * 3600.0
+
+    if args.verbose:
+        print(
+            json.dumps(
+                {
+                    'processed': processed,
+                    'elapsed_s': round(elapsed, 3),
+                    'compile_s': round(compile_s, 2),
+                    'device_s_per_batch': round(device_s, 4),
+                    'device_rec_per_hour': round(args.batch / device_s * 3600.0, 1),
+                    'host_bound': device_s * len(hypnograms) < elapsed * 0.5,
+                }
+            )
+        )
+    print(
+        json.dumps(
+            {
+                'metric': 'EDF->hypnogram inference throughput (10h nights, ECG+PPG+ABD+THX)',
+                'value': round(per_hour_per_chip, 1),
+                'unit': 'recordings/hour/chip',
+                'vs_baseline': round(per_hour_per_chip / BASELINE_PER_CHIP, 3),
+            }
+        )
+    )
+
+
+if __name__ == '__main__':
+    main()

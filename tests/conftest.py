@@ -7,8 +7,11 @@ chip is attached in CI.
 
 import os
 
-# The CI environment pre-sets JAX_PLATFORMS to the TPU plugin; tests must run
-# on the virtual CPU mesh, so overwrite (not setdefault).
+# The CI environment pre-sets JAX_PLATFORMS to the TPU plugin AND its
+# sitecustomize imports jax at interpreter startup, so env vars set here are
+# read too late — force the platform through jax.config instead. XLA_FLAGS is
+# still read at (lazy) CPU-client creation, so the 8-device forcing works as
+# long as no jax computation ran before this file was imported.
 os.environ['JAX_PLATFORMS'] = 'cpu'
 _flags = os.environ.get('XLA_FLAGS', '')
 if 'xla_force_host_platform_device_count' not in _flags:
@@ -20,6 +23,8 @@ import types
 
 import jax
 import pytest
+
+jax.config.update('jax_platforms', 'cpu')
 
 jax.config.update('jax_compilation_cache_dir', os.path.join(os.path.dirname(__file__), '..', '.cache', 'jax'))
 jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.3)

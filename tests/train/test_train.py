@@ -1,0 +1,134 @@
+"""Training runtime tests: masker, schedule, metrics, full Trainer smoke."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from wav2sleep_tpu.train.masker import SignalMasker, invert_signals, validate_batch
+from wav2sleep_tpu.train.metrics import confusion_matrix, cross_entropy_ignore_index
+from wav2sleep_tpu.train.scheduler import PlateauController, exp_warmup_schedule
+
+NEG_INF = float('-inf')
+
+
+def make_signals(B=64, missing=None):
+    rng = np.random.default_rng(0)
+    sig = {
+        'ECG': rng.normal(size=(B, 32)).astype(np.float32),
+        'PPG': rng.normal(size=(B, 32)).astype(np.float32),
+        'THX': rng.normal(size=(B, 16)).astype(np.float32),
+    }
+    if missing:
+        for name, rows in missing.items():
+            sig[name][rows] = NEG_INF
+    return {k: jnp.asarray(v) for k, v in sig.items()}
+
+
+class TestMasker:
+    def test_at_least_one_survivor(self):
+        masker = SignalMasker({'ECG': 0.9, 'PPG': 0.9, 'THX': 0.9}, backups=['ECG', 'PPG'])
+        x = make_signals(B=256)
+        out = masker(jax.random.PRNGKey(0), x)
+        missing = np.stack([np.isinf(np.asarray(out[k])[:, 0]) for k in out], axis=-1)
+        assert not missing.all(axis=-1).any()
+
+    def test_respects_existing_missing(self):
+        # PPG missing for rows 0..9 must stay missing.
+        masker = SignalMasker({'ECG': 0.0, 'PPG': 0.0, 'THX': 0.0})
+        x = make_signals(B=32, missing={'PPG': slice(0, 10)})
+        out = masker(jax.random.PRNGKey(1), x)
+        assert np.isinf(np.asarray(out['PPG'])[:10]).all()
+        assert np.isfinite(np.asarray(out['ECG'])).all()
+
+    def test_dropout_rate_statistics(self):
+        masker = SignalMasker({'ECG': 0.5, 'PPG': 0.0, 'THX': 0.0}, backups=['PPG'])
+        x = make_signals(B=2000)
+        out = masker(jax.random.PRNGKey(2), x)
+        frac = float(np.isinf(np.asarray(out['ECG'])[:, 0]).mean())
+        assert 0.4 < frac < 0.6
+        assert not np.isinf(np.asarray(out['PPG'])[:, 0]).any()
+
+    def test_invalid_probability(self):
+        with pytest.raises(ValueError):
+            SignalMasker({'ECG': 1.5})
+
+    def test_validate_batch_raises_when_all_missing(self):
+        x = make_signals(B=4, missing={'ECG': slice(0, 1), 'PPG': slice(0, 1), 'THX': slice(0, 1)})
+        with pytest.raises(ValueError, match='all signals unavailable'):
+            validate_batch(x)
+
+    def test_masker_under_jit(self):
+        masker = SignalMasker({'ECG': 0.5, 'PPG': 0.1}, backups=['ECG', 'PPG'])
+        x = {k: v for k, v in make_signals(B=16).items() if k != 'THX'}
+        f = jax.jit(lambda r, s: masker(r, s))
+        out = f(jax.random.PRNGKey(3), x)
+        assert out['ECG'].shape == x['ECG'].shape
+
+
+def test_invert_signals_flips_rows():
+    x = make_signals(B=200)
+    out = invert_signals(jax.random.PRNGKey(0), x)
+    ratio = np.asarray(out['ECG']) / np.asarray(x['ECG'])
+    row_sign = ratio[:, 0]
+    assert set(np.unique(np.round(row_sign))) == {-1.0, 1.0}
+    # Whole rows flip together.
+    assert np.allclose(ratio, row_sign[:, None])
+    # Roughly half flipped.
+    assert 0.35 < (row_sign < 0).mean() < 0.65
+
+
+class TestScheduleParity:
+    def test_exp_warmup_matches_torch_formula(self):
+        lr_max, warmup, tau = 1e-3, 100, 500.0
+        sched = exp_warmup_schedule(lr_max, warmup, tau)
+        # torch ExpWarmUpScheduler: step k (1-based) -> warmup ramp then decay
+        for count in [0, 49, 99, 100, 250, 1000]:
+            step = count + 1
+            if step <= warmup:
+                want = lr_max * step / warmup
+            else:
+                want = lr_max * np.exp(-(step - warmup) / tau)
+            got = float(sched(count))
+            assert got == pytest.approx(want, rel=1e-6), count
+
+    def test_plateau_controller(self):
+        pc = PlateauController(factor=0.1, patience=2)
+        scales = [pc.update(v) for v in [1.0, 0.9, 0.91, 0.92, 0.93, 0.94]]
+        # 0.9 is best; 0.91..0.93 are 3 bad epochs -> reduction on the 3rd.
+        assert scales[:4] == [1.0, 1.0, 1.0, 1.0]
+        assert scales[4] == pytest.approx(0.1)
+
+
+class TestMetrics:
+    def test_confusion_matrix_ignores_negatives(self):
+        logits = jnp.asarray(
+            [[[2.0, 0, 0, 0], [0, 2.0, 0, 0], [0, 0, 2.0, 0], [0, 0, 0, 2.0]]]
+        )  # preds: 0,1,2,3
+        labels = jnp.asarray([[0.0, 1.0, -1.0, 2.0]])
+        cm = np.asarray(confusion_matrix(logits, labels, 4))
+        assert cm.sum() == 3
+        assert cm[0, 0] == 1 and cm[1, 1] == 1 and cm[2, 3] == 1
+
+    def test_cross_entropy_matches_torch(self):
+        torch = pytest.importorskip('torch')
+        rng = np.random.default_rng(0)
+        logits = rng.normal(size=(50, 4)).astype(np.float32)
+        labels = rng.integers(-1, 4, size=50).astype(np.float32)
+        ours = float(cross_entropy_ignore_index(jnp.asarray(logits), jnp.asarray(labels)))
+        crit = torch.nn.CrossEntropyLoss(reduction='mean', ignore_index=-1)
+        want = float(crit(torch.from_numpy(logits), torch.from_numpy(labels).long()))
+        assert ours == pytest.approx(want, rel=1e-5)
+
+    def test_cross_entropy_label_smoothing_matches_torch(self):
+        torch = pytest.importorskip('torch')
+        rng = np.random.default_rng(1)
+        logits = rng.normal(size=(30, 5)).astype(np.float32)
+        labels = rng.integers(0, 5, size=30).astype(np.float32)
+        ours = float(
+            cross_entropy_ignore_index(jnp.asarray(logits), jnp.asarray(labels), label_smoothing=0.1)
+        )
+        crit = torch.nn.CrossEntropyLoss(reduction='mean', ignore_index=-1, label_smoothing=0.1)
+        want = float(crit(torch.from_numpy(logits), torch.from_numpy(labels).long()))
+        assert ours == pytest.approx(want, rel=1e-4)

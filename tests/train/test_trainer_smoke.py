@@ -1,0 +1,223 @@
+"""End-to-end training smoke: synthetic parquet corpus -> Trainer.fit ->
+metrics, checkpoint resume, deployable export loadable by api + torch ref."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import jax
+
+from wav2sleep_tpu import models as jm
+from wav2sleep_tpu.train.datamodule import SleepDataModule
+from wav2sleep_tpu.train.loop import Trainer
+from wav2sleep_tpu.train.masker import SignalMasker
+
+EPOCHS_PER_NIGHT = 6
+FEATURE_DIM = 16
+
+MODEL_CFG = {
+    '_target_': 'wav2sleep.models.wav2sleep.Wav2Sleep',
+    'num_classes': 4,
+    'signal_encoders': {
+        '_target_': 'wav2sleep.models.wav2sleep.SignalEncoders',
+        'signal_map': {'ECG': 'ECG', 'THX': 'THX'},
+        'feature_dim': FEATURE_DIM,
+        'activation': 'gelu',
+        'norm': 'instance',
+        'causal': False,
+        'chunk_causal': False,
+        'initial_channels': 4,
+        'max_channels': 8,
+        'output_norm': False,
+        'use_residual': True,
+    },
+    'epoch_mixer': {
+        '_target_': 'wav2sleep.models.wav2sleep.MultiModalAttentionEmbedder',
+        'feature_dim': FEATURE_DIM,
+        'dropout': 0.0,
+        'activation': 'gelu',
+        'layers': 1,
+        'dim_ff': 32,
+        'nhead': 4,
+    },
+    'sequence_mixer': {
+        '_target_': 'wav2sleep.models.wav2sleep.SequenceCNN',
+        'feature_dim': FEATURE_DIM,
+        'dropout': 0.0,
+        'activation': 'gelu',
+        'norm': 'layer',
+        'causal': False,
+        'num_layers': 1,
+        'kernel_size': 3,
+        'num_dilations': 2,
+    },
+}
+
+
+def write_corpus(root, datasets=('mesa', 'shhs'), nights_per_split=4):
+    """Class-separable synthetic nights: stage k has a distinctive amplitude."""
+    rng = np.random.default_rng(0)
+    for ds in datasets:
+        for split in ('train', 'val', 'test'):
+            folder = root / ds / split
+            folder.mkdir(parents=True)
+            for n in range(nights_per_split):
+                labels = rng.integers(0, 4, size=EPOCHS_PER_NIGHT)
+                ecg = np.concatenate(
+                    [
+                        (lab + 1.0) * np.sin(np.arange(1024) / 3.0) + 0.05 * rng.normal(size=1024)
+                        for lab in labels
+                    ]
+                ).astype(np.float32)
+                thx = np.concatenate(
+                    [np.full(256, float(lab)) + 0.05 * rng.normal(size=256) for lab in labels]
+                ).astype(np.float32)
+                total = 1024 * EPOCHS_PER_NIGHT
+                stage = np.full(total, np.nan, dtype=np.float32)
+                stage[:EPOCHS_PER_NIGHT] = labels
+                thx_col = np.full(total, np.nan, dtype=np.float32)
+                thx_col[: len(thx)] = thx
+                pd.DataFrame({'ECG': ecg, 'THX': thx_col, 'Stage': stage}).to_parquet(
+                    folder / f'{ds}-night{n}.parquet'
+                )
+    # An .issues night that must be excluded.
+    bad = root / datasets[0] / 'train' / 'bad.issues.parquet'
+    pd.DataFrame({'ECG': np.zeros(1024, np.float32)}).to_parquet(bad)
+
+
+@pytest.fixture(scope='module')
+def corpus(tmp_path_factory):
+    root = tmp_path_factory.mktemp('corpus')
+    write_corpus(root)
+    return root
+
+
+def make_trainer(corpus, log_dir, **kw):
+    model = jm.Wav2Sleep(
+        signal_encoders=jm.SignalEncoders(
+            signal_map=jm.as_signal_map({'ECG': 'ECG', 'THX': 'THX'}),
+            feature_dim=FEATURE_DIM,
+            activation='gelu',
+            norm='instance',
+            chunk_causal=False,
+            initial_channels=4,
+            max_channels=8,
+        ),
+        epoch_mixer=jm.MultiModalAttentionEmbedder(feature_dim=FEATURE_DIM, layers=1, dim_ff=32, nhead=4, dropout=0.0),
+        sequence_mixer=jm.SequenceCNN(
+            feature_dim=FEATURE_DIM, num_layers=1, kernel_size=3, num_dilations=2, norm='layer', dropout=0.0
+        ),
+        num_classes=4,
+    )
+    dm = SleepDataModule(
+        columns=['ECG', 'THX'],
+        data_location=str(corpus),
+        train_datasets=['mesa', 'shhs'],
+        val_datasets=['mesa', 'shhs'],
+        test_datasets=['mesa'],
+        test=True,
+        batch_size=4,
+        val_batch_size=4,
+        test_batch_size=4,
+        num_workers=1,
+        pad_to_epochs=EPOCHS_PER_NIGHT,
+        max_length_hours=1,
+    )
+    defaults = dict(
+        model=model,
+        datamodule=dm,
+        num_classes=4,
+        epochs=2,
+        lr=3e-3,
+        warmup_steps=5,
+        tau=1000.0,
+        masker=SignalMasker({'ECG': 0.3, 'THX': 0.3}, backups=['ECG']),
+        log_dir=str(log_dir),
+        seed=0,
+    )
+    defaults.update(kw)
+    return Trainer(**defaults)
+
+
+def test_datamodule_structure(corpus):
+    dm = SleepDataModule(
+        columns=['ECG', 'THX'],
+        data_location=str(corpus),
+        train_datasets=['mesa', 'shhs'],
+        val_datasets=['mesa', 'shhs'],
+        test_datasets=['mesa'],
+        test=True,
+        batch_size=4,
+        pad_to_epochs=EPOCHS_PER_NIGHT,
+        max_length_hours=1,
+        num_workers=1,
+    )
+    assert dm.num_train_nights == 8  # .issues excluded
+    loaders = dm.val_loaders()
+    assert [name for name, _ in loaders] == ['all', 'mesa', 'shhs']
+    x, y = next(iter(dm.train_loader(0)))
+    assert x['ECG'].shape == (4, 1024 * EPOCHS_PER_NIGHT)
+    assert y.shape == (4, EPOCHS_PER_NIGHT)
+
+
+def test_fit_learns_and_exports(corpus, tmp_path, ref_models):
+    torch = pytest.importorskip('torch')
+    trainer = make_trainer(corpus, tmp_path / 'run', epochs=4)
+    final = trainer.fit()
+    assert 'val_loss' in final and np.isfinite(final['val_loss'])
+    # Eval matrix produced per-dataset and subset metrics.
+    assert 'val_loss_mesa' in final
+    assert 'val_ECG_loss_mesa' in final  # subset eval on mesa
+    assert 'val_ECG_THX_loss_shhs' in final
+    # The separable toy corpus should be learnable well below chance.
+    assert final['val_loss'] < 1.3
+
+    # Test-mode eval matrix.
+    test_metrics = trainer.evaluate('test')
+    assert 'test_loss_mesa' in test_metrics
+
+    # Export deployable folder -> loadable by our api AND by torch.
+    out = str(tmp_path / 'export')
+    trainer.export(out, MODEL_CFG)
+    from wav2sleep_tpu import api
+
+    model = api.load_model(out)
+    assert model.valid_signals == ['ECG', 'THX']
+
+    sd = torch.load(os.path.join(out, 'state_dict.pth'), weights_only=True)
+    tmodel = ref_models.Wav2Sleep(
+        signal_encoders=ref_models.SignalEncoders(
+            **{k: v for k, v in MODEL_CFG['signal_encoders'].items() if k != '_target_'}
+        ),
+        epoch_mixer=ref_models.MultiModalAttentionEmbedder(
+            **{k: v for k, v in MODEL_CFG['epoch_mixer'].items() if k != '_target_'}
+        ),
+        sequence_mixer=ref_models.SequenceCNN(
+            **{k: v for k, v in MODEL_CFG['sequence_mixer'].items() if k != '_target_'}
+        ),
+        num_classes=4,
+    )
+    tmodel.load_state_dict(sd)  # strict
+
+
+def test_checkpoint_resume(corpus, tmp_path):
+    log_dir = tmp_path / 'run_resume'
+    t1 = make_trainer(corpus, log_dir, epochs=1)
+    t1.fit()
+    step_after_1 = int(t1.state.step)
+    assert os.path.isdir(log_dir / 'checkpoints' / 'last')
+    assert os.path.isdir(log_dir / 'checkpoints' / 'best')
+
+    t2 = make_trainer(corpus, log_dir, epochs=2)
+    t2.fit(resume_from='last')
+    assert int(t2.state.step) > step_after_1  # continued, not restarted
+    # Optimizer schedule count resumed (step carried in opt state).
+
+
+def test_early_stopping(corpus, tmp_path):
+    trainer = make_trainer(corpus, tmp_path / 'run_es', epochs=50, early_stopping_patience=1, lr=0.0)
+    trainer.fit()
+    # With lr=0 val loss never improves after first epoch: stops early.
+    assert trainer.current_epoch < 49

@@ -1,0 +1,98 @@
+"""Orbax-based training checkpoints (best + last), with resume hardening.
+
+The reference persists: Lightning ModelCheckpoint (top-1 on val_loss +
+last), RNG states, gradient-clip config (warning on mismatch at resume), and
+scheduler step (src/wav2sleep/trainer/main.py:299-334, scripts/config/
+training/callbacks/checkpointing.yaml). This manager checkpoints the full
+TrainState (params, optimizer incl. schedule count, EMA), the PRNG key,
+early-stopping / plateau controller state and the epoch counter.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import shutil
+
+import jax
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+
+class CheckpointManager:
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+        import orbax.checkpoint as ocp
+
+        self._ckptr = ocp.StandardCheckpointer()
+
+    def _meta_path(self, name: str) -> str:
+        return os.path.join(self.root, f'{name}.meta.json')
+
+    def save(self, trainer, epoch: int, val_loss: float, is_best: bool) -> None:
+        tree = {
+            'state': jax.device_get(trainer.state),
+            'rng': jax.device_get(trainer.rng),
+        }
+        meta = {
+            'epoch': epoch,
+            'val_loss': float(val_loss) if np.isfinite(val_loss) else None,
+            'grad_clip': trainer.grad_clip,
+            'early_stopping': trainer.early_stopping.state_dict(),
+            'plateau': trainer.plateau.state_dict() if trainer.plateau else None,
+        }
+        self._write('last', tree, meta)
+        if is_best:
+            self._write('best', tree, meta)
+
+    def _write(self, name: str, tree, meta) -> None:
+        path = os.path.join(self.root, name)
+        tmp = path + '.tmp'
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+        self._ckptr.save(tmp, tree)
+        self._ckptr.wait_until_finished()
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        os.replace(tmp, path)
+        with open(self._meta_path(name), 'w') as f:
+            json.dump(meta, f)
+
+    def restore(self, trainer, which: str = 'last') -> int:
+        """Restore into ``trainer``; returns the epoch to resume from."""
+        path = which if os.path.isabs(which) and os.path.exists(which) else os.path.join(self.root, which)
+        meta_path = path + '.meta.json'
+        if not os.path.exists(path):
+            raise FileNotFoundError(f'No checkpoint at {path}')
+        # The state template requires an initialized trainer; build it from
+        # one example batch.
+        if trainer.state is None:
+            loader = trainer.datamodule.train_loader(0)
+            example = next(iter(loader))
+            trainer._ensure_state(example)
+        template = {'state': jax.device_get(trainer.state), 'rng': jax.device_get(trainer.rng)}
+        restored = self._ckptr.restore(path, template)
+        trainer.state = restored['state']
+        trainer.rng = restored['rng']
+        epoch = 0
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                meta = json.load(f)
+            epoch = int(meta.get('epoch', -1)) + 1
+            if meta.get('grad_clip') != trainer.grad_clip:
+                logger.warning(
+                    '=' * 70
+                    + f'\nGRADIENT CLIPPING MISMATCH DETECTED!\n'
+                    f'  Checkpoint trained with: gradient_clip={meta.get("grad_clip")}\n'
+                    f'  Current config has:      gradient_clip={trainer.grad_clip}\n'
+                    'This can cause training instability (increasing training loss)!\n' + '=' * 70
+                )
+            if meta.get('early_stopping'):
+                trainer.early_stopping.load_state_dict(meta['early_stopping'])
+            if meta.get('plateau') and trainer.plateau is not None:
+                trainer.plateau.load_state_dict(meta['plateau'])
+        logger.info(f'Restored checkpoint from {path}; resuming at epoch {epoch}.')
+        return epoch

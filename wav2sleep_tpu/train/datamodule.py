@@ -1,0 +1,242 @@
+"""Multi-dataset data module for training.
+
+Equivalent of the reference SleepDataModule (src/wav2sleep/data/datamodule.py):
+
+- train set = union of each dataset's ``train/`` partition under
+  ``<data_location>/<dataset>/<split>/*.parquet``,
+- val loaders: loader 0 combines all val datasets (census excluded to avoid
+  duplicates, reference :204-207), then one loader per dataset with an
+  index -> name map for metric labelling,
+- per-dataset test loaders,
+- ``.issues.parquet`` exclusion, PPG-only file filtering by parquet schema,
+- epoch-seeded shuffling (seed + epoch),
+- optional parallel rsync staging NFS -> local scratch with a free-space
+  check (reference :36-82, 285-358).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import shutil
+import subprocess
+from concurrent.futures import ThreadPoolExecutor
+from dataclasses import dataclass, field
+
+from ..settings import CENSUS, PPG, TEST, TRAIN, VAL
+from .. import settings
+from ..data.dataset import ParquetDataset, batch_iterator
+from ..data.utils import get_parquet_cols, get_parquet_fps
+
+logger = logging.getLogger(__name__)
+
+
+def _exclude_issues(fps: list[str]) -> list[str]:
+    return [fp for fp in fps if not fp.endswith('.issues.parquet')]
+
+
+def get_parquet_fps_for_dataset(
+    data_location: str,
+    dataset: str,
+    split: str,
+    columns: list[str],
+    exclude_issues: bool = True,
+    max_nights: int | None = None,
+) -> list[str]:
+    """Parquet files for one (dataset, split), with schema-based filtering
+    for PPG-only column sets (reference datamodule.py:100-125)."""
+    folder = os.path.join(data_location, dataset, split)
+    if not os.path.isdir(folder):
+        logger.info(f'No folder for {dataset=} {split=} at {folder}')
+        return []
+    fps = sorted(get_parquet_fps(folder))
+    if exclude_issues:
+        fps = _exclude_issues(fps)
+    # When training PPG-only models, drop files without a PPG column to avoid
+    # wasted loads (schema check is metadata-only).
+    if columns == [PPG]:
+        fps = [fp for fp in fps if PPG in get_parquet_cols(fp)]
+    if max_nights is not None:
+        fps = fps[:max_nights]
+    return fps
+
+
+@dataclass
+class SleepDataModule:
+    columns: list[str]
+    data_location: str
+    train_datasets: list[str] = field(default_factory=list)
+    val_datasets: list[str] = field(default_factory=list)
+    test_datasets: list[str] = field(default_factory=list)
+    num_classes: int = 4
+    max_nights: int = 1_000_000
+    test: bool = False
+    exclude_issues: bool = True
+    batch_size: int = 16
+    val_batch_size: int = 32
+    test_batch_size: int = 32
+    num_workers: int = 2
+    drop_last: bool = False
+    causal: bool = False
+    seed: int = 42
+    max_length_hours: int = settings.TRAINING_LENGTH_HOURS
+    pad_to_epochs: int | None = None  # default: max_length_hours * 120
+    sync_to_local: bool = False
+    local_data_cache: str = '/scratch'
+    max_parallel_rsyncs: int = 8
+
+    def __post_init__(self):
+        self.columns = list(self.columns)
+        if self.pad_to_epochs is None:
+            self.pad_to_epochs = self.max_length_hours * 120
+        if self.sync_to_local:
+            self.data_location = stage_to_local(
+                self.data_location,
+                self.local_data_cache,
+                max_parallel=self.max_parallel_rsyncs,
+            )
+        self._train_fps = []
+        for ds in self.train_datasets:
+            self._train_fps += self._fps(ds, TRAIN)
+        # Val loader 0 combines all val datasets except census (its nights
+        # are drawn from the other datasets — including it would duplicate).
+        self.val_dataset_map: dict[int, str] = {0: 'all'}
+        self._val_fps_combined = []
+        self._val_fps_per_ds: list[tuple[str, list[str]]] = []
+        for i, ds in enumerate(self.val_datasets):
+            fps = self._fps(ds, VAL)
+            if ds != CENSUS:
+                self._val_fps_combined += fps
+            self._val_fps_per_ds.append((ds, fps))
+            self.val_dataset_map[i + 1] = ds
+        self.test_dataset_map: dict[int, str] = {}
+        self._test_fps_per_ds: list[tuple[str, list[str]]] = []
+        if self.test:
+            for i, ds in enumerate(self.test_datasets):
+                self._test_fps_per_ds.append((ds, self._fps(ds, TEST)))
+                self.test_dataset_map[i] = ds
+
+    def _fps(self, dataset: str, split: str) -> list[str]:
+        return get_parquet_fps_for_dataset(
+            self.data_location,
+            dataset,
+            split,
+            self.columns,
+            exclude_issues=self.exclude_issues,
+            max_nights=self.max_nights,
+        )
+
+    def _make_dataset(self, fps: list[str]) -> ParquetDataset:
+        return ParquetDataset(
+            parquet_fps=fps,
+            columns=self.columns,
+            num_classes=self.num_classes,
+            require_labels=True,
+            max_length_hours=self.max_length_hours,
+            causal=self.causal,
+        )
+
+    @property
+    def num_train_nights(self) -> int:
+        return len(self._train_fps)
+
+    def train_loader(self, epoch: int = 0):
+        """Shuffled train iterator; shuffle seeded by ``seed + epoch``
+        (reference datamodule.py:226-229)."""
+        ds = self._make_dataset(self._train_fps)
+        return batch_iterator(
+            ds,
+            batch_size=self.batch_size,
+            shuffle=True,
+            seed=self.seed + epoch,
+            drop_last=self.drop_last,
+            num_threads=self.num_workers,
+            pad_to_epochs=self.pad_to_epochs,
+        )
+
+    def val_loaders(self):
+        """[(name, loader)] — index 0 is the combined loader."""
+        out = []
+        sets = [('all', self._val_fps_combined)] + self._val_fps_per_ds
+        for name, fps in sets:
+            if not fps:
+                continue
+            ds = self._make_dataset(fps)
+            out.append(
+                (
+                    name,
+                    batch_iterator(
+                        ds,
+                        batch_size=self.val_batch_size,
+                        shuffle=False,
+                        num_threads=self.num_workers,
+                        pad_to_epochs=self.pad_to_epochs,
+                    ),
+                )
+            )
+        return out
+
+    def test_loaders(self):
+        out = []
+        for name, fps in self._test_fps_per_ds:
+            if not fps:
+                continue
+            ds = self._make_dataset(fps)
+            out.append(
+                (
+                    name,
+                    batch_iterator(
+                        ds,
+                        batch_size=self.test_batch_size,
+                        shuffle=False,
+                        num_threads=self.num_workers,
+                        pad_to_epochs=self.pad_to_epochs,
+                    ),
+                )
+            )
+        return out
+
+
+def _check_destination_space(src: str, dst: str) -> None:
+    """Refuse to stage when the destination lacks room for the source
+    (reference datamodule.py:37-60)."""
+    total_src = 0
+    for root, _, files in os.walk(src):
+        for f in files:
+            try:
+                total_src += os.path.getsize(os.path.join(root, f))
+            except OSError:
+                pass
+    usage = shutil.disk_usage(os.path.dirname(dst) or '/')
+    if usage.free < total_src * 1.05:
+        raise RuntimeError(
+            f'Not enough space to stage {src} ({total_src / 1e9:.1f} GB) '
+            f'into {dst} ({usage.free / 1e9:.1f} GB free).'
+        )
+
+
+def _rsync_directory(src: str, dst: str) -> None:
+    """Resumable rsync of one directory (reference datamodule.py:63-82)."""
+    os.makedirs(dst, exist_ok=True)
+    cmd = ['rsync', '-a', '--partial', '--inplace', src.rstrip('/') + '/', dst]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True)
+    except FileNotFoundError:
+        # rsync unavailable: plain copy fallback.
+        shutil.copytree(src, dst, dirs_exist_ok=True)
+
+
+def stage_to_local(data_location: str, local_cache: str, max_parallel: int = 8) -> str:
+    """Parallel-stage the dataset tree from network storage to local scratch;
+    returns the local root (reference datamodule.py:285-358)."""
+    dst_root = os.path.join(local_cache, os.path.basename(data_location.rstrip('/')))
+    _check_destination_space(data_location, dst_root)
+    subdirs = [d for d in sorted(os.listdir(data_location)) if os.path.isdir(os.path.join(data_location, d))]
+    with ThreadPoolExecutor(max_workers=max_parallel) as pool:
+        futures = {
+            pool.submit(_rsync_directory, os.path.join(data_location, d), os.path.join(dst_root, d)): d
+            for d in subdirs
+        }
+        for fut in futures:
+            fut.result()
+    return dst_root

@@ -1,0 +1,395 @@
+"""Training orchestration: epochs, eval matrix, checkpointing, early stop.
+
+TPU-native replacement for the reference's Lightning module + Trainer
+(src/wav2sleep/trainer/main.py, scripts/train.py):
+
+- one jitted train step (augmentations + loss + grads + AdamW + metrics) over
+  the device mesh; batches stream from the threaded host pipeline,
+- per-(mode, signal-subset, dataset) evaluation matrix via presence masks —
+  all subsets share ONE compiled eval graph (the reference re-forwards with
+  sliced dicts and needed torch.compile recompile_limit=64 for this),
+- weight EMA maintained in-graph (the EMACallback role), used for eval when
+  enabled,
+- val_loss early stopping (patience 5) with optional reset-on-resume,
+- Orbax checkpointing of the full training state (params, optimizer, EMA,
+  RNG, early-stop/plateau state) with best/last retention, plus export of
+  the deployable ``config.yaml`` + ``state_dict.pth`` folder on exit.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import time
+from dataclasses import dataclass, field
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..settings import CCSHS, CFS, CHAT, ECG, MESA, PPG, SHHS, TEST, THX, TRAIN, VAL
+from ..stats import cohens_kappa, confusion_accuracy
+from .datamodule import SleepDataModule
+from .masker import SignalMasker
+from .scheduler import PlateauController, exp_warmup_schedule
+from .step import (
+    TrainState,
+    init_train_state,
+    make_eval_step,
+    make_optimizer,
+    make_train_step,
+)
+
+logger = logging.getLogger(__name__)
+
+
+@dataclass
+class EarlyStopping:
+    """val_loss early stopping (reference ResettableEarlyStopping,
+    trainer/callbacks.py:131-147)."""
+
+    patience: int = 5
+    min_delta: float = 0.0
+    best: float = float('inf')
+    wait: int = 0
+
+    def update(self, metric: float) -> bool:
+        """Returns True when training should stop."""
+        if metric < self.best - self.min_delta:
+            self.best = metric
+            self.wait = 0
+            return False
+        self.wait += 1
+        return self.wait >= self.patience
+
+    def reset(self) -> None:
+        self.best = float('inf')
+        self.wait = 0
+
+    def state_dict(self) -> dict:
+        return {'best': self.best, 'wait': self.wait}
+
+    def load_state_dict(self, s: dict) -> None:
+        self.best, self.wait = s['best'], s['wait']
+
+
+class MetricsLogger:
+    """JSON-lines metric log + optional confusion-matrix PNGs + MLflow."""
+
+    def __init__(self, log_dir: str, num_classes: int, plot_confusion: bool = True):
+        self.log_dir = log_dir
+        self.num_classes = num_classes
+        self.plot_confusion = plot_confusion
+        os.makedirs(log_dir, exist_ok=True)
+        self.fp = os.path.join(log_dir, 'metrics.jsonl')
+        self._mlflow = None
+        try:  # Optional MLflow parity (reference logs everything there).
+            if os.environ.get('MLFLOW_TRACKING_URI'):
+                import mlflow
+
+                self._mlflow = mlflow
+        except ImportError:
+            pass
+
+    def log(self, metrics: dict[str, float], step: int) -> None:
+        record = {'step': step, 'time': time.time(), **metrics}
+        with open(self.fp, 'a') as f:
+            f.write(json.dumps(record) + '\n')
+        if self._mlflow is not None:
+            self._mlflow.log_metrics({k: float(v) for k, v in metrics.items()}, step=step)
+
+    def log_confusion(self, cmat: np.ndarray, epoch: int, prefix: str) -> dict[str, float]:
+        """Log kappa/acc (+ optional PNG) for one confusion matrix; returns
+        the metrics dict (reference log.py:28-47)."""
+        acc = confusion_accuracy(cmat)
+        kappa = cohens_kappa(cmat, n_classes=len(cmat))
+        metrics = {f'{prefix}_acc': acc, f'{prefix}_kappa': kappa}
+        self.log(metrics, step=epoch)
+        if self.plot_confusion:
+            try:
+                from ..plotting import save_confusion_png
+
+                out = os.path.join(self.log_dir, f'{prefix}_conf_mats')
+                os.makedirs(out, exist_ok=True)
+                save_confusion_png(cmat, os.path.join(out, f'{epoch:04d}.png'), num_classes=len(cmat))
+            except Exception as e:  # plotting is best-effort observability
+                logger.debug(f'confusion plot failed: {e}')
+        return metrics
+
+
+@dataclass
+class Trainer:
+    model: Any
+    datamodule: SleepDataModule
+    num_classes: int = 4
+    family: str = 'wav2sleep'
+    # Optimizer / schedule (reference defaults: adamw lr 1e-3 wd 1e-4,
+    # warmup 2000, tau 10000, clip 1.0, 50 epochs).
+    lr: float = 1e-3
+    weight_decay: float = 1e-4
+    warmup_steps: int = 2000
+    tau: float = 10_000.0
+    scheduler: str = 'expdecay'  # 'expdecay' | 'plateau' | 'none'
+    grad_clip: float = 1.0
+    accumulate_grad_batches: int = 1
+    epochs: int = 50
+    label_smoothing: float = 0.0
+    # Augmentation
+    masker: Optional[SignalMasker] = None
+    flip_polarity: bool = True
+    # EMA (reference EMACallback; off by default like the reference)
+    ema_decay: Optional[float] = None
+    ema_start_step: int = 2000
+    eval_with_ema: bool = True
+    # Early stopping
+    early_stopping_patience: int = 5
+    reset_early_stopping: bool = False
+    # Infra
+    seed: int = 42
+    log_dir: str = 'runs/default'
+    mesh: Any = None
+    eval_subsets: bool = True
+    max_steps_per_epoch: Optional[int] = None  # debug cap
+
+    state: TrainState = field(default=None, repr=False)
+    current_epoch: int = 0
+
+    def __post_init__(self):
+        self.metrics_logger = MetricsLogger(self.log_dir, self.num_classes)
+        self.early_stopping = EarlyStopping(patience=self.early_stopping_patience)
+        self.plateau = PlateauController() if self.scheduler == 'plateau' else None
+        if self.scheduler == 'expdecay':
+            schedule = exp_warmup_schedule(self.lr, self.warmup_steps, self.tau)
+        else:
+            schedule = self.lr
+        self.tx = make_optimizer(
+            schedule,
+            weight_decay=self.weight_decay,
+            grad_clip=self.grad_clip,
+            accumulate_steps=self.accumulate_grad_batches,
+            inject_lr_scale=self.scheduler == 'plateau',
+        )
+        self.unified = self.family == 'wav2sleep' and len(self.model.signal_encoders) > 1
+        self._train_step = make_train_step(
+            self.model,
+            self.tx,
+            num_classes=self.num_classes,
+            masker=self.masker if self.unified else None,
+            flip_polarity=self.flip_polarity,
+            family=self.family,
+            label_smoothing=self.label_smoothing,
+            ema_decay=self.ema_decay,
+            ema_start_step=self.ema_start_step,
+        )
+        self._eval_step = make_eval_step(self.model, self.num_classes, family=self.family)
+        self._jit_train = None
+        self._jit_eval = None
+        self.rng = jax.random.PRNGKey(self.seed)
+
+    # ------------------------------------------------------------------
+    def _ensure_state(self, example_batch):
+        if self.state is None:
+            init_rng, self.rng = jax.random.split(self.rng)
+            x = example_batch[0] if isinstance(example_batch, tuple) else example_batch
+            self.state = init_train_state(
+                self.model,
+                self.tx,
+                x,
+                init_rng,
+                family=self.family,
+                ema=self.ema_decay is not None,
+            )
+            n_params = sum(x.size for x in jax.tree_util.tree_leaves(self.state.params))
+            logger.info(f'Initialized model with {n_params:,} parameters.')
+        if self._jit_train is None:
+            if self.mesh is not None:
+                from .step import parallelize_train_step
+
+                x, y = example_batch if isinstance(example_batch, tuple) else (example_batch, None)
+                self._jit_train = parallelize_train_step(self._train_step, self.mesh, self.state, (x, y))
+            else:
+                self._jit_train = jax.jit(self._train_step, donate_argnums=(0,))
+            self._jit_eval = jax.jit(self._eval_step)
+
+    def _device_batch(self, x, y):
+        if self.mesh is not None:
+            from ..parallel.mesh import shard_batch
+
+            return shard_batch(self.mesh, (x, y))
+        return (x, y)
+
+    # ------------------------------------------------------------------
+    def train_epoch(self, epoch: int) -> dict[str, float]:
+        losses = []
+        cmat = np.zeros((self.num_classes, self.num_classes), np.int64)
+        step_rng = jax.random.fold_in(self.rng, epoch)
+        t0 = time.time()
+        n = 0
+        for x, y in self.datamodule.train_loader(epoch):
+            self._ensure_state((x, y))
+            state, metrics = self._jit_train(self.state, self._device_batch(x, y), step_rng)
+            self.state = state
+            losses.append(metrics['loss'])
+            cmat += np.asarray(metrics['cmat'], np.int64)
+            n += 1
+            if self.max_steps_per_epoch and n >= self.max_steps_per_epoch:
+                break
+        if not losses:
+            raise ValueError('Empty training epoch - no batches produced.')
+        loss = float(jnp.mean(jnp.stack(losses)))
+        elapsed = time.time() - t0
+        out = {
+            'train_loss': loss,
+            'train_steps_per_sec': n / max(elapsed, 1e-9),
+            'lr_step': int(self.state.step),
+        }
+        self.metrics_logger.log(out, step=epoch)
+        self.metrics_logger.log_confusion(cmat, epoch, prefix=f'{TRAIN}_all')
+        return out
+
+    # ------------------------------------------------------------------
+    def _eval_params(self):
+        if self.ema_decay is not None and self.eval_with_ema and self.state.ema_params is not None:
+            return self.state.ema_params
+        return self.state.params
+
+    def _run_eval(self, loader, present_spec=None):
+        """One pass over a loader; optional signal subset via presence."""
+        losses, total = [], np.zeros((self.num_classes, self.num_classes), np.int64)
+        params = self._eval_params()
+        for x, y in loader:
+            present = None
+            if present_spec is not None:
+                B = y.shape[0]
+                present = {
+                    k: np.full((B,), k in present_spec, dtype=bool) for k in x
+                }
+            out = self._jit_eval(params, self.state.batch_stats, self._device_batch(x, y), present)
+            losses.append(float(out['loss']))
+            total += np.asarray(out['cmat'], np.int64)
+        return (float(np.mean(losses)) if losses else float('nan')), total
+
+    def _subset_matrix(self, ds_name: str, mode: str) -> list[tuple[str, ...]]:
+        """Signal subsets to evaluate per dataset (reference
+        trainer/main.py:188-224)."""
+        if not (self.unified and self.eval_subsets):
+            return []
+        valid = set(self.model.valid_signals)
+        cols = set(self.datamodule.columns)
+        subsets: list[tuple[str, ...]] = []
+        if ECG in cols and ECG in valid:
+            subsets.append((ECG,))
+            ecg_thx_ok = THX in cols and THX in valid
+            if mode == VAL:
+                if ecg_thx_ok and ds_name in (SHHS, MESA):
+                    subsets.append((ECG, THX))
+            elif ecg_thx_ok:
+                subsets.append((ECG, THX))
+        if PPG in cols and PPG in valid and ds_name in (MESA, CFS, CCSHS, CHAT):
+            subsets.append((PPG,))
+            if THX in cols and THX in valid and ds_name == MESA:
+                subsets.append((PPG, THX))
+        return subsets
+
+    def evaluate(self, mode: str = VAL, epoch: int | None = None) -> dict[str, float]:
+        """Full eval matrix; returns flat metrics incl. ``{mode}_loss``."""
+        epoch = self.current_epoch if epoch is None else epoch
+        loaders = self.datamodule.val_loaders() if mode == VAL else self.datamodule.test_loaders()
+        results: dict[str, float] = {}
+        for idx, (ds_name, loader) in enumerate(loaders):
+            is_combined = mode == VAL and idx == 0
+            loss, cmat = self._run_eval(loader)
+            if is_combined:
+                results[f'{mode}_loss'] = loss
+            else:
+                results[f'{mode}_loss_{ds_name}'] = loss
+            self.metrics_logger.log_confusion(cmat, epoch, prefix=f'{mode}_{ds_name}')
+            if is_combined:
+                continue
+            for subset in self._subset_matrix(ds_name, mode):
+                sig_prefix = '_'.join(subset)
+                # Re-materialize the loader for each subset pass.
+                sub_loader = self._reload(mode, ds_name)
+                loss_s, cmat_s = self._run_eval(sub_loader, present_spec=set(subset))
+                results[f'{mode}_{sig_prefix}_loss_{ds_name}'] = loss_s
+                self.metrics_logger.log_confusion(cmat_s, epoch, prefix=f'{mode}_{sig_prefix}_{ds_name}')
+        self.metrics_logger.log(results, step=epoch)
+        return results
+
+    def _reload(self, mode: str, ds_name: str):
+        loaders = self.datamodule.val_loaders() if mode == VAL else self.datamodule.test_loaders()
+        for name, loader in loaders if mode == TEST else loaders[1:]:
+            if name == ds_name:
+                return loader
+        raise KeyError(ds_name)
+
+    # ------------------------------------------------------------------
+    def fit(self, resume_from: str | None = None) -> dict[str, float]:
+        from .checkpointing import CheckpointManager
+
+        ckpt = CheckpointManager(os.path.join(self.log_dir, 'checkpoints'))
+        start_epoch = 0
+        if resume_from:
+            start_epoch = self.restore(resume_from, ckpt)
+        if self.reset_early_stopping:
+            self.early_stopping.reset()
+        last_val: dict[str, float] = {}
+        for epoch in range(start_epoch, self.epochs):
+            self.current_epoch = epoch
+            train_metrics = self.train_epoch(epoch)
+            val_metrics = self.evaluate(VAL, epoch)
+            last_val = val_metrics
+            val_loss = val_metrics.get('val_loss', float('nan'))
+            logger.info(
+                f'epoch {epoch}: train_loss={train_metrics["train_loss"]:.4f} val_loss={val_loss:.4f}'
+            )
+            if self.plateau is not None and np.isfinite(val_loss):
+                scale = self.plateau.update(val_loss)
+                self.state = _set_lr_scale(self.state, scale)
+            is_best = val_loss <= self.early_stopping.best
+            ckpt.save(self, epoch, val_loss, is_best=is_best)
+            if np.isfinite(val_loss) and self.early_stopping.update(val_loss):
+                logger.info(f'Early stopping at epoch {epoch} (best val_loss {self.early_stopping.best:.4f}).')
+                break
+        return last_val
+
+    def restore(self, path: str, manager=None) -> int:
+        from .checkpointing import CheckpointManager
+
+        manager = manager or CheckpointManager(os.path.join(self.log_dir, 'checkpoints'))
+        return manager.restore(self, path)
+
+    def export(self, folder: str, config: dict) -> None:
+        """Write the deployable checkpoint folder (config.yaml + weights) —
+        the format ``api.load_model`` and the PyTorch reference consume."""
+        from ..checkpoint import save_checkpoint_folder
+
+        variables = {'params': jax.device_get(self._eval_params())}
+        if self.state.batch_stats is not None:
+            variables['batch_stats'] = jax.device_get(self.state.batch_stats)
+        save_checkpoint_folder(folder, config, variables, torch_compat=True)
+
+
+def _set_lr_scale(state: TrainState, scale: float) -> TrainState:
+    """Update the injected lr_scale hyperparam inside the optimizer state."""
+
+    def visit(node):
+        if hasattr(node, 'hyperparams') and 'lr_scale' in getattr(node, 'hyperparams', {}):
+            node.hyperparams['lr_scale'] = jnp.asarray(scale, jnp.float32)
+        return node
+
+    jax.tree_util.tree_map(lambda x: x, state.opt_state)  # no-op traversal
+    # inject_hyperparams stores hyperparams in a dict inside the state tuple;
+    # mutate in place (host-side between steps).
+    def walk(obj):
+        if hasattr(obj, 'hyperparams') and isinstance(obj.hyperparams, dict) and 'lr_scale' in obj.hyperparams:
+            obj.hyperparams['lr_scale'] = jnp.asarray(scale, jnp.float32)
+            return
+        if isinstance(obj, (tuple, list)):
+            for o in obj:
+                walk(o)
+
+    walk(state.opt_state)
+    return state

@@ -1,0 +1,237 @@
+"""Jitted training / evaluation steps over a device mesh.
+
+The reference's training runtime is Lightning DDP (trainer/main.py): implicit
+NCCL gradient sync, torchmetrics confusion matrices all-reduced by hand. The
+TPU-native equivalent is a single jitted step with global-batch semantics:
+the batch is sharded across the mesh's ``data`` axis, parameters are
+replicated, and XLA inserts gradient/metric ``psum`` collectives over ICI.
+Augmentations (polarity flip, modality dropout) and the loss/confusion
+matrix run inside the same compiled program — one graph per signal-set,
+signal subsets expressed via presence masks (no retraces).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, Optional
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ..parallel.mesh import DATA_AXIS
+from .masker import SignalMasker, invert_signals
+from .metrics import confusion_matrix, cross_entropy_ignore_index
+
+
+@flax.struct.dataclass
+class TrainState:
+    step: jnp.ndarray
+    params: Any
+    opt_state: Any
+    batch_stats: Any = None
+    ema_params: Any = None
+
+
+def make_optimizer(
+    learning_rate,
+    weight_decay: float = 1e-4,
+    grad_clip: float | None = 1.0,
+    b1: float = 0.9,
+    b2: float = 0.999,
+    eps: float = 1e-8,
+    accumulate_steps: int = 1,
+    inject_lr_scale: bool = False,
+) -> optax.GradientTransformation:
+    """AdamW + global-norm clip (+ gradient accumulation), torch defaults.
+
+    ``inject_lr_scale`` wraps the transform in ``inject_hyperparams`` so a
+    host-side plateau controller can rescale the LR between epochs.
+    """
+    chain = []
+    if grad_clip is not None:
+        chain.append(optax.clip_by_global_norm(grad_clip))
+    if inject_lr_scale:
+        adamw = optax.inject_hyperparams(
+            lambda lr_scale: optax.adamw(
+                learning_rate=lambda c: learning_rate(c) * lr_scale
+                if callable(learning_rate)
+                else learning_rate * lr_scale,
+                b1=b1,
+                b2=b2,
+                eps=eps,
+                weight_decay=weight_decay,
+            )
+        )(lr_scale=1.0)
+    else:
+        adamw = optax.adamw(
+            learning_rate=learning_rate, b1=b1, b2=b2, eps=eps, weight_decay=weight_decay
+        )
+    chain.append(adamw)
+    tx = optax.chain(*chain)
+    if accumulate_steps > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=accumulate_steps)
+    return tx
+
+
+def init_train_state(
+    model,
+    tx: optax.GradientTransformation,
+    example_batch: dict[str, jnp.ndarray],
+    rng: jax.Array,
+    family: str = 'wav2sleep',
+    ema: bool = False,
+) -> TrainState:
+    x = _model_input(example_batch, family)
+    variables = model.init(rng, x, train=False)
+    params = variables['params']
+    batch_stats = variables.get('batch_stats')
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        opt_state=tx.init(params),
+        batch_stats=batch_stats,
+        ema_params=jax.tree_util.tree_map(jnp.copy, params) if ema else None,
+    )
+
+
+def _model_input(x: dict[str, jnp.ndarray], family: str):
+    if family == 'ppgnet':
+        if len(x) != 1:
+            raise ValueError(f'{list(x.keys())=} but expected unimodal input!')
+        return next(iter(x.values()))
+    return x
+
+
+def make_train_step(
+    model,
+    tx: optax.GradientTransformation,
+    num_classes: int,
+    masker: Optional[SignalMasker] = None,
+    flip_polarity: bool = True,
+    family: str = 'wav2sleep',
+    label_smoothing: float = 0.0,
+    ema_decay: float | None = None,
+    ema_start_step: int = 0,
+) -> Callable:
+    """Build the (unjitted) train step; see ``parallelize`` to jit over a mesh."""
+
+    has_batch_stats_model = family == 'ppgnet'  # batch norm by default
+
+    def train_step(state: TrainState, batch, rng: jax.Array):
+        x, y = batch
+        rng = jax.random.fold_in(rng, state.step)
+        rng_flip, rng_mask, rng_drop = jax.random.split(rng, 3)
+        if flip_polarity:
+            x = invert_signals(rng_flip, x)
+        if masker is not None:
+            x = masker(rng_mask, x)
+
+        def loss_fn(params):
+            variables = {'params': params}
+            if state.batch_stats is not None:
+                variables['batch_stats'] = state.batch_stats
+                logits, mutated = model.apply(
+                    variables,
+                    _model_input(x, family),
+                    train=True,
+                    rngs={'dropout': rng_drop},
+                    mutable=['batch_stats'],
+                )
+                new_stats = mutated['batch_stats']
+            else:
+                logits = model.apply(
+                    variables, _model_input(x, family), train=True, rngs={'dropout': rng_drop}
+                )
+                new_stats = None
+            loss = cross_entropy_ignore_index(
+                logits.reshape(-1, num_classes), y.reshape(-1), label_smoothing
+            )
+            return loss, (logits, new_stats)
+
+        (loss, (logits, new_stats)), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_ema = state.ema_params
+        if state.ema_params is not None and ema_decay is not None:
+            decay = jnp.where(state.step >= ema_start_step, ema_decay, 1.0)
+            new_ema = jax.tree_util.tree_map(
+                lambda e, p: decay * e + (1.0 - decay) * p, state.ema_params, new_params
+            )
+        new_state = state.replace(
+            step=state.step + 1,
+            params=new_params,
+            opt_state=new_opt_state,
+            batch_stats=new_stats if new_stats is not None else state.batch_stats,
+            ema_params=new_ema,
+        )
+        metrics = {
+            'loss': loss,
+            'cmat': confusion_matrix(logits, y, num_classes),
+            'grad_norm': optax.global_norm(grads),
+        }
+        return new_state, metrics
+
+    return train_step
+
+
+def make_eval_step(model, num_classes: int, family: str = 'wav2sleep') -> Callable:
+    """Eval step; ``present`` masks modalities without retracing."""
+
+    def eval_step(params, batch_stats, batch, present=None):
+        x, y = batch
+        variables = {'params': params}
+        if batch_stats is not None:
+            variables['batch_stats'] = batch_stats
+        if family == 'ppgnet':
+            logits = model.apply(variables, _model_input(x, family), train=False)
+        else:
+            logits = model.apply(variables, x, train=False, present=present)
+        loss = cross_entropy_ignore_index(logits.reshape(-1, num_classes), y.reshape(-1))
+        return {
+            'loss': loss,
+            'cmat': confusion_matrix(logits, y, num_classes),
+            'preds': jnp.argmax(logits, axis=-1),
+        }
+
+    return eval_step
+
+
+def state_shardings(mesh, state: TrainState):
+    """Replicated sharding for every leaf of the train state."""
+    rep = NamedSharding(mesh, P())
+    return jax.tree_util.tree_map(lambda _: rep, state)
+
+
+def batch_shardings(mesh, batch):
+    """Batch-axis sharding over the mesh's data axis."""
+    sh = NamedSharding(mesh, P(DATA_AXIS))
+    return jax.tree_util.tree_map(lambda _: sh, batch)
+
+
+def parallelize_train_step(train_step, mesh, state, example_batch):
+    """Jit the train step with DP shardings: replicated state, data-sharded
+    batch. XLA inserts the gradient psum over ICI."""
+    rep = NamedSharding(mesh, P())
+    st_sh = state_shardings(mesh, state)
+    b_sh = batch_shardings(mesh, example_batch)
+    return jax.jit(
+        train_step,
+        in_shardings=(st_sh, b_sh, rep),
+        out_shardings=(st_sh, rep),
+        donate_argnums=(0,),
+    )
+
+
+def parallelize_eval_step(eval_step, mesh, params, batch_stats, example_batch, with_present=False):
+    rep = NamedSharding(mesh, P())
+    p_sh = jax.tree_util.tree_map(lambda _: rep, params)
+    bs_sh = jax.tree_util.tree_map(lambda _: rep, batch_stats) if batch_stats is not None else None
+    b_sh = batch_shardings(mesh, example_batch)
+    pres_sh = jax.tree_util.tree_map(lambda _: NamedSharding(mesh, P(DATA_AXIS)), {})
+    del pres_sh
+    if with_present:
+        return jax.jit(eval_step, in_shardings=(p_sh, bs_sh, b_sh, None), out_shardings=None)
+    return jax.jit(partial(eval_step, present=None), in_shardings=(p_sh, bs_sh, b_sh))
