@@ -1,0 +1,94 @@
+"""Streaming pipeline correctness: hypnograms must match the api path."""
+
+import datetime
+
+import numpy as np
+import pytest
+
+from wav2sleep_tpu.data.edf import write_edf
+from wav2sleep_tpu.data.preprocessing import resample_signal, resample_uniform
+from wav2sleep_tpu.pipeline import NightDecoder, StreamingPipeline
+from wav2sleep_tpu.settings import COLS_TO_SAMPLES_PER_EPOCH
+
+
+def test_resample_uniform_matches_general():
+    rng = np.random.default_rng(0)
+    fs = 125.0
+    n = int(fs * 120)
+    vals = rng.normal(size=n)
+    t = np.arange(n) / fs
+    fast = resample_uniform(vals.astype(np.float32), fs, 'ABD', max_length_hours=1 / 30)
+    slow = resample_signal(t, vals, 'ABD', max_length_hours=1 / 30)
+    np.testing.assert_allclose(fast, slow, atol=1e-5)
+
+
+def test_night_decoder_matches_reference_path(tmp_path):
+    rng = np.random.default_rng(1)
+    n_sec = 10 * 60
+    ecg = np.sin(np.arange(125 * n_sec) / 17) * 900
+    fp = str(tmp_path / 'n.edf')
+    write_edf(
+        fp,
+        {'EKG': ecg},
+        {'EKG': 125.0},
+        units={'EKG': 'uV'},
+        physical_ranges={'EKG': (-1000, 1000)},
+        start=datetime.datetime(2001, 1, 1, 23, 0, 0),
+    )
+    hours = n_sec / 3600
+    dec = NightDecoder(['ECG', 'THX'], max_length_hours=hours)
+    S = int(hours * 120)
+    out = {c: np.empty(COLS_TO_SAMPLES_PER_EPOCH[c] * S, np.float32) for c in ('ECG', 'THX')}
+    present = dec.decode_into(fp, out)
+    assert present == {'ECG': True, 'THX': False}
+    assert np.isinf(out['THX']).all()
+    # Cross-check against the api/pandas path.
+    from wav2sleep_tpu.data.edf import load_edf_data
+    from wav2sleep_tpu.data.preprocessing import process_waveform_dataframe
+
+    df, _ = load_edf_data(fp, columns=['ECG'])
+    ref = process_waveform_dataframe(df, ['ECG'], max_length_hours=hours)['ECG'].to_numpy()
+    np.testing.assert_allclose(out['ECG'], ref, atol=2e-4)
+
+
+def test_streaming_pipeline_end_to_end(tmp_path):
+    import jax
+
+    from wav2sleep_tpu import models as jm
+
+    model = jm.Wav2Sleep(
+        signal_encoders=jm.SignalEncoders(
+            signal_map=jm.as_signal_map({'ECG': 'ECG'}),
+            feature_dim=16,
+            activation='gelu',
+            norm='instance',
+            chunk_causal=False,
+            initial_channels=4,
+            max_channels=8,
+        ),
+        epoch_mixer=jm.MultiModalAttentionEmbedder(feature_dim=16, layers=1, dim_ff=32, nhead=4, dropout=0.0),
+        sequence_mixer=jm.SequenceCNN(feature_dim=16, num_layers=1, kernel_size=3, num_dilations=2, norm='layer', dropout=0.0),
+        num_classes=4,
+    )
+    hours = 6 / 120  # 6 epochs
+    fps = []
+    rng = np.random.default_rng(2)
+    for i in range(3):
+        n = int(1024 / 30 * hours * 3600)
+        fp = str(tmp_path / f'{i}.edf')
+        write_edf(
+            fp,
+            {'ECG': rng.normal(size=int(1024 / 30 * 30) * 6) * 0.5},
+            {'ECG': 1024 / 30},
+            physical_ranges={'ECG': (-3, 3)},
+            record_duration=30.0,
+        )
+        fps.append(fp)
+    x0 = {'ECG': np.zeros((1, 1024 * 6), np.float32)}
+    variables = model.init(jax.random.PRNGKey(0), x0)
+    pipe = StreamingPipeline(model, variables, ['ECG'], batch_size=2, max_length_hours=hours, precision='float32')
+    results = dict(pipe.run(fps))
+    assert set(results) == set(fps)
+    for hyp in results.values():
+        assert hyp.shape == (6,)
+        assert set(np.unique(hyp)) <= {0, 1, 2, 3}

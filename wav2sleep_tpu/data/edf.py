@@ -65,6 +65,30 @@ UNIT_SCALING = {MICRO_V: 1e-3, MILLI_V: 1, VOLTS: 1e3}
 
 BROKEN_UNIT = 'BROKEN'
 
+
+def channel_norm_affine(
+    sig_name: str,
+    unit: str,
+    physical_min: float,
+    physical_max: float,
+    convert_units: bool = True,
+    normalize_arbitrary: bool = True,
+) -> tuple[str, float, float]:
+    """(method, scale, offset) such that ``normalized = raw * scale + offset``.
+
+    Voltage signals scale to mV; arbitrary-unit signals map their physical
+    range onto [-1, 1] (reference edf.py:254-281)."""
+    if sig_name in VOLTAGE_SIGNALS:
+        scale = get_unit_scaling(sig_name, unit) if convert_units else 1.0
+        return 'voltage_to_mV', scale, 0.0
+    if sig_name in ARBITRARY_UNIT_SIGNALS and normalize_arbitrary:
+        physical_range = abs(physical_max - physical_min)
+        if physical_range > 0:
+            physical_center = (physical_max + physical_min) / 2
+            scale = 2.0 / physical_range
+            return 'physical_range', scale, -physical_center * scale
+    return 'none', 1.0, 0.0
+
 HEADER_BYTES = 256
 SIGNAL_HEADER_BYTES = 256
 
@@ -225,17 +249,40 @@ class EdfFile:
                 return c
         raise KeyError(label)
 
-    def read_digital(self, label: str) -> np.ndarray:
+    def n_samples(self, label: str) -> int:
+        return self.channel(label).samples_per_record * self.header.n_records
+
+    def read_digital(self, label: str, out: np.ndarray | None = None) -> np.ndarray:
+        """Extract one channel's int16 samples (strided slice of the record
+        matrix). ``out`` reuses a caller-owned buffer — on sandboxed VMs
+        first-touch page faults make fresh large allocations ~100x slower
+        than warm-buffer copies, so hot pipelines should pool buffers."""
         c = self.channel(label)
         lo, hi = self._offsets[c.index], self._offsets[c.index + 1]
-        return np.ascontiguousarray(self._records[:, lo:hi]).reshape(-1)
+        view = self._records[:, lo:hi]
+        n = view.size
+        if out is not None:
+            dst = out[:n].reshape(view.shape)
+            np.copyto(dst, view)
+            return out[:n]
+        return np.ascontiguousarray(view).reshape(-1)
 
-    def read_physical(self, label: str) -> np.ndarray:
-        """Digital -> physical conversion (float64), matching edflib:
-        phys = (dig - dig_min) * bitvalue + phys_min."""
+    def read_physical(self, label: str, dtype=np.float64, out: np.ndarray | None = None) -> np.ndarray:
+        """Digital -> physical conversion, matching edflib:
+        phys = (dig - dig_min) * bitvalue + phys_min.
+
+        ``dtype=np.float32`` halves memory traffic on the hot inference path
+        (int16 sources lose nothing in f32)."""
         c = self.channel(label)
-        dig = self.read_digital(label).astype(np.float64)
-        return (dig - c.digital_min) * c.bitvalue + c.physical_min
+        dig = self.read_digital(label)
+        n = dig.size
+        if out is not None:
+            buf = out[:n]
+            np.multiply(dig, dtype(c.bitvalue), out=buf, casting='unsafe')
+            buf += dtype(c.physical_min) - dtype(c.bitvalue) * dtype(c.digital_min)
+            return buf
+        digf = dig.astype(dtype)
+        return (digf - dtype(c.digital_min)) * dtype(c.bitvalue) + dtype(c.physical_min)
 
     def sampling_freq(self, label: str) -> float:
         c = self.channel(label)
@@ -326,62 +373,56 @@ def _warn_signal_issues(
             )
 
 
-def load_edf_data(
+def load_edf_arrays(
     filepath: str,
     columns: list[str] | str,
-    convert_time: bool = False,
     convert_units: bool = True,
     normalize_arbitrary: bool = True,
     raise_on_missing: bool = True,
-) -> tuple[pd.DataFrame, dict[str, dict]]:
-    """Load selected channels of an EDF into a seconds-indexed DataFrame.
+    compute_stats: bool = True,
+    dtype=np.float64,
+) -> tuple[dict[str, tuple[np.ndarray, float]], dict[str, dict], datetime.datetime]:
+    """Array-native EDF load: {col: (values, sampling_freq)}, metadata, start.
 
-    Matches the reference contract (edf.py:182-309): voltage signals scaled to
-    mV; arbitrary-unit signals normalized to [-1, 1] via the header physical
-    range; per-signal metadata dict with raw stats and the normalization
-    applied (consumed by downstream pipelines / real-time inference).
+    The fast host path — no pandas index alignment. ``load_edf_data`` wraps
+    this into the reference's DataFrame contract. ``compute_stats=False``
+    skips the QC statistics passes (4 extra sweeps per signal) for
+    throughput-critical streaming inference.
     """
     if isinstance(columns, str):
         columns = [columns]
     metadata: dict[str, dict] = {}
+    arrays: dict[str, tuple[np.ndarray, float]] = {}
     with EdfFile(filepath) as f:
         labels = f.labels()
         units_map = {c.label: c.unit for c in f.header.channels}
-        series = []
         for sig_name in columns:
             actual = get_column_match(sig_name, labels, units_map=units_map, raise_error=raise_on_missing)
             if actual is None:
                 continue
             ch = f.channel(actual)
-            sig = f.read_physical(actual)
+            sig = f.read_physical(actual, dtype=dtype)
             sampling_freq = f.sampling_freq(actual)
             unit = ch.unit
             physical_min, physical_max = ch.physical_min, ch.physical_max
 
-            raw_mean = float(np.nanmean(sig)) if len(sig) else float('nan')
-            raw_std = float(np.nanstd(sig)) if len(sig) else float('nan')
-            raw_min = float(np.nanmin(sig)) if len(sig) else float('nan')
-            raw_max = float(np.nanmax(sig)) if len(sig) else float('nan')
-            _warn_signal_issues(
-                filepath, sig_name, sig, raw_std, raw_min, raw_max, physical_min, physical_max, unit
-            )
-
-            if sig_name in VOLTAGE_SIGNALS:
-                scale = get_unit_scaling(sig_name, unit) if convert_units else 1.0
-                sig = sig * scale
-                norm_method, norm_scale, norm_offset = 'voltage_to_mV', scale, 0.0
-            elif sig_name in ARBITRARY_UNIT_SIGNALS and normalize_arbitrary:
-                physical_range = abs(physical_max - physical_min)
-                if physical_range > 0:
-                    physical_center = (physical_max + physical_min) / 2
-                    sig = (sig - physical_center) / (physical_range / 2)
-                    norm_method = 'physical_range'
-                    norm_scale = 2.0 / physical_range
-                    norm_offset = -physical_center * norm_scale
-                else:
-                    norm_method, norm_scale, norm_offset = 'none', 1.0, 0.0
+            if compute_stats:
+                raw_mean = float(np.nanmean(sig)) if len(sig) else float('nan')
+                raw_std = float(np.nanstd(sig)) if len(sig) else float('nan')
+                raw_min = float(np.nanmin(sig)) if len(sig) else float('nan')
+                raw_max = float(np.nanmax(sig)) if len(sig) else float('nan')
+                _warn_signal_issues(
+                    filepath, sig_name, sig, raw_std, raw_min, raw_max, physical_min, physical_max, unit
+                )
             else:
-                norm_method, norm_scale, norm_offset = 'none', 1.0, 0.0
+                raw_mean = raw_std = raw_min = raw_max = float('nan')
+
+            norm_method, norm_scale, norm_offset = channel_norm_affine(
+                sig_name, unit, physical_min, physical_max,
+                convert_units=convert_units, normalize_arbitrary=normalize_arbitrary,
+            )
+            if norm_scale != 1.0 or norm_offset != 0.0:
+                sig = sig * norm_scale + norm_offset
 
             metadata[sig_name] = {
                 'unit': unit,
@@ -397,14 +438,44 @@ def load_edf_data(
                 'norm_offset': norm_offset,
                 'sampling_freq': sampling_freq,
             }
-            t = pd.Index(np.arange(len(sig)) / sampling_freq, name=TIMESTAMP)
-            series.append(pd.DataFrame({sig_name: sig.astype(np.float64)}, index=t))
-        if not series:
-            _logger.warning(f'No signals found in {filepath} for {columns}')
-            return pd.DataFrame(), metadata
-        df = pd.concat(series, axis=1).sort_index()
-        if convert_time:
-            df.index = f.header.start + pd.to_timedelta(df.index, unit='s')
+            arrays[sig_name] = (sig, sampling_freq)
+        start = f.header.start
+    if not arrays:
+        _logger.warning(f'No signals found in {filepath} for {columns}')
+    return arrays, metadata, start
+
+
+def load_edf_data(
+    filepath: str,
+    columns: list[str] | str,
+    convert_time: bool = False,
+    convert_units: bool = True,
+    normalize_arbitrary: bool = True,
+    raise_on_missing: bool = True,
+) -> tuple[pd.DataFrame, dict[str, dict]]:
+    """Load selected channels of an EDF into a seconds-indexed DataFrame.
+
+    Matches the reference contract (edf.py:182-309): voltage signals scaled to
+    mV; arbitrary-unit signals normalized to [-1, 1] via the header physical
+    range; per-signal metadata dict with raw stats and the normalization
+    applied (consumed by downstream pipelines / real-time inference).
+    """
+    arrays, metadata, start = load_edf_arrays(
+        filepath,
+        columns,
+        convert_units=convert_units,
+        normalize_arbitrary=normalize_arbitrary,
+        raise_on_missing=raise_on_missing,
+    )
+    if not arrays:
+        return pd.DataFrame(), metadata
+    series = []
+    for sig_name, (sig, sampling_freq) in arrays.items():
+        t = pd.Index(np.arange(len(sig)) / sampling_freq, name=TIMESTAMP)
+        series.append(pd.DataFrame({sig_name: sig.astype(np.float64)}, index=t))
+    df = pd.concat(series, axis=1).sort_index()
+    if convert_time:
+        df.index = start + pd.to_timedelta(df.index, unit='s')
     return df, metadata
 
 

@@ -59,6 +59,73 @@ def resample_signal(
     return out.astype(np.float32)
 
 
+_RESAMPLE_PLAN_CACHE: dict = {}
+
+
+def _resample_plan(fs: float, n: int, col: str, max_length_hours: float):
+    """Cached gather indices + lerp weights for a (rate, length) pair —
+    real corpora have a handful of distinct rates, so plans amortize to
+    zero and avoid fresh large allocations per night."""
+    key = (round(fs, 9), n, col, max_length_hours)
+    plan = _RESAMPLE_PLAN_CACHE.get(key)
+    if plan is None:
+        grid = signal_target_grid(col, max_length_hours)
+        pos = grid * fs
+        idx = np.floor(pos).astype(np.int64)
+        frac = (pos - idx).astype(np.float32)
+        invalid = (pos < 0) | (pos > n - 1)
+        idx0 = np.clip(idx, 0, n - 1)
+        idx1 = np.clip(idx + 1, 0, n - 1)
+        plan = (idx0, idx1, frac, invalid if invalid.any() else None)
+        _RESAMPLE_PLAN_CACHE[key] = plan
+    return plan
+
+
+def resample_uniform(
+    values: np.ndarray,
+    fs: float,
+    col: str,
+    max_length_hours: float = TRAINING_LENGTH_HOURS,
+    out: np.ndarray | None = None,
+) -> np.ndarray:
+    """Fast path: resample a *uniformly sampled* signal (rate ``fs``, first
+    sample at t=0) onto the model grid with closed-form linear interpolation.
+
+    Equivalent to ``resample_signal(arange(n)/fs, values, col)`` but without
+    searchsorted or float64 promotion — a single fused gather+lerp pass into
+    an optional caller-owned ``out`` buffer.
+    """
+    n = len(values)
+    idx0, idx1, frac, invalid = _resample_plan(fs, n, col, max_length_hours)
+    v = values.astype(np.float32, copy=False)
+    m = len(idx0)
+    if out is None:
+        out = np.empty(m, dtype=np.float32)
+    tmp = _take_scratch(m)
+    # out = v0 + frac * (v1 - v0), staged through pooled scratch only.
+    np.take(v, idx0, out=tmp)
+    np.take(v, idx1, out=out)
+    out -= tmp
+    out *= frac
+    out += tmp
+    if invalid is not None:
+        out[invalid] = 0.0
+    return out
+
+
+_TAKE_SCRATCH: dict[int, np.ndarray] = {}
+
+
+def _take_scratch(n: int) -> np.ndarray:
+    """Pooled scratch (not thread-safe across concurrent resamples of the
+    same length; the streaming pipeline is single-producer)."""
+    buf = _TAKE_SCRATCH.get(n)
+    if buf is None:
+        buf = np.empty(n, dtype=np.float32)
+        _TAKE_SCRATCH[n] = buf
+    return buf
+
+
 def process_waveform_dataframe(
     df: pd.DataFrame, columns: list[str], max_length_hours: float = TRAINING_LENGTH_HOURS
 ) -> pd.DataFrame:
