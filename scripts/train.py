@@ -1,0 +1,148 @@
+#!/usr/bin/env python
+"""Training entry point.
+
+Equivalent of the reference's hydra-driven ``scripts/train.py`` with the
+same override style::
+
+    python scripts/train.py name=joint datasets=all inputs=cardiorespiratory/all
+    python scripts/train.py name=mesa_ecg datasets=mesa inputs=cardiorespiratory/ecg epochs=10
+    python scripts/train.py name=eog datasets=eog inputs=neural/eog num_classes=5
+
+Replaces Lightning DDP with a jitted data-parallel train step over the TPU
+mesh; gradient accumulation arithmetic mirrors the reference
+(target_batch_size / (batch_size * n_devices), scripts/train.py:59-76 there).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import sys
+import time
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO_ROOT)
+
+logger = logging.getLogger('train')
+
+
+def main(argv: list[str] | None = None) -> dict:
+    argv = sys.argv[1:] if argv is None else argv
+    logging.basicConfig(level=logging.INFO, format='%(asctime)s %(name)s %(levelname)s %(message)s')
+    logging.getLogger('absl').setLevel(logging.WARNING)  # quiet orbax internals
+
+    from wav2sleep_tpu.config import compose
+    from wav2sleep_tpu.utils import fix_seeds
+
+    cfg = compose(os.path.join(REPO_ROOT, 'scripts', 'config'), 'main', argv)
+    fix_seeds(cfg['seed'])
+
+    import jax
+
+    from wav2sleep_tpu.checkpoint import reference_compatible_config
+    from wav2sleep_tpu.instantiate import instantiate, model_family
+    from wav2sleep_tpu.parallel.mesh import make_mesh
+    from wav2sleep_tpu.train.datamodule import SleepDataModule
+    from wav2sleep_tpu.train.loop import Trainer
+
+    model_cfg = cfg['model']
+    model = instantiate(model_cfg)
+    family = model_family(model_cfg)
+    masker_cfg = cfg.get('inputs', {}).get('masker')
+    masker = instantiate(masker_cfg) if masker_cfg else None
+
+    devices = jax.devices()
+    n_dev = cfg['num_devices'] or len(devices)
+    mesh = make_mesh(devices[:n_dev], data=n_dev, model=1) if n_dev > 1 else None
+
+    batch_size = cfg['batch_size']
+    accumulate = max(cfg['target_batch_size'] // (batch_size * max(n_dev, 1)), 1)
+    if accumulate > 1:
+        logger.info(f'Gradient accumulation: {accumulate} steps (effective batch {batch_size * n_dev * accumulate}).')
+
+    tcfg = cfg['training']
+    dm = SleepDataModule(
+        columns=list(cfg['inputs']['signal_map'].keys()),
+        data_location=cfg['data_location'],
+        train_datasets=cfg['datasets']['train'],
+        val_datasets=cfg['datasets']['val'],
+        test_datasets=cfg['datasets']['test'],
+        num_classes=cfg['num_classes'],
+        max_nights=cfg.get('debug', {}).get('max_nights', 1_000_000),
+        test=cfg['test'],
+        batch_size=batch_size,
+        val_batch_size=tcfg['val_batch_size'],
+        test_batch_size=tcfg['test_batch_size'],
+        num_workers=cfg['num_cpus'],
+        drop_last=tcfg['drop_last'],
+        causal=cfg['causal'],
+        seed=cfg['seed'],
+        max_length_hours=cfg['max_length_hours'],
+        pad_to_epochs=cfg.get('pad_to_epochs'),
+    )
+
+    log_dir = os.path.join(cfg['log_root'], 'logs', cfg['name'], time.strftime('%Y-%m-%d/%H-%M-%S'))
+    trainer = Trainer(
+        model=model,
+        datamodule=dm,
+        num_classes=cfg['num_classes'],
+        family=family,
+        lr=float(tcfg['optimizer']['lr']),
+        weight_decay=float(tcfg['optimizer']['weight_decay']),
+        warmup_steps=int(tcfg['scheduler'].get('warmup_steps', 0) or 0),
+        tau=float(tcfg['scheduler'].get('tau', 10_000) or 10_000),
+        scheduler={'expdecay': 'expdecay', 'plateau': 'plateau'}.get(tcfg['scheduler'].get('name'), 'none'),
+        grad_clip=tcfg['grad_clip'],
+        accumulate_grad_batches=accumulate,
+        epochs=cfg['epochs'],
+        label_smoothing=tcfg['label_smoothing'],
+        masker=masker,
+        flip_polarity=tcfg['flip_polarity'],
+        ema_decay=tcfg['ema']['decay'] if tcfg['ema']['enabled'] else None,
+        ema_start_step=tcfg['ema']['start_step'],
+        early_stopping_patience=tcfg['early_stopping_patience'],
+        reset_early_stopping=tcfg['reset_early_stopping'],
+        seed=cfg['seed'],
+        log_dir=log_dir,
+        mesh=mesh,
+    )
+    if cfg.get('profile'):
+        _with_profile(trainer, log_dir)
+
+    logger.info(f'Training {cfg["name"]} for {cfg["epochs"]} epochs; logs at {log_dir}')
+    final = trainer.fit(resume_from=cfg.get('ckpt_path'))
+
+    if cfg['restore_best']:
+        best = os.path.join(log_dir, 'checkpoints', 'best')
+        if os.path.isdir(best):
+            trainer.restore(best)
+            logger.info('Restored best (lowest val_loss) checkpoint.')
+    if cfg['test']:
+        final = trainer.evaluate('test')
+
+    # Export the deployable checkpoint folder (reference log.py:63-83 format,
+    # with _target_ names both implementations can instantiate).
+    export_dir = os.path.join(log_dir, 'model')
+    trainer.export(export_dir, reference_compatible_config(model_cfg))
+    logger.info(f'Exported deployable checkpoint to {export_dir}')
+    return final
+
+
+def _with_profile(trainer, log_dir: str) -> None:
+    """Wrap the first training epoch in a jax.profiler trace (the reference's
+    opt-in PyTorchProfiler role, SURVEY.md §5.1)."""
+    import jax
+
+    orig = trainer.train_epoch
+
+    def traced(epoch):
+        if epoch == 0:
+            with jax.profiler.trace(os.path.join(log_dir, 'profile')):
+                return orig(epoch)
+        return orig(epoch)
+
+    trainer.train_epoch = traced
+
+
+if __name__ == '__main__':
+    main()

@@ -50,6 +50,29 @@ def load_params_npz(path: str) -> dict:
         return _unflatten({k: data[k] for k in data.files})
 
 
+_TARGET_TO_REFERENCE = {
+    'wav2sleep_tpu.models.wav2sleep.Wav2Sleep': 'wav2sleep.models.wav2sleep.Wav2Sleep',
+    'wav2sleep_tpu.models.wav2sleep.SignalEncoders': 'wav2sleep.models.wav2sleep.SignalEncoders',
+    'wav2sleep_tpu.models.wav2sleep.MultiModalAttentionEmbedder': 'wav2sleep.models.wav2sleep.MultiModalAttentionEmbedder',
+    'wav2sleep_tpu.models.wav2sleep.SequenceCNN': 'wav2sleep.models.wav2sleep.SequenceCNN',
+    'wav2sleep_tpu.models.ppgnet.SleepPPGNet': 'wav2sleep.models.ppgnet.SleepPPGNet',
+}
+
+
+def reference_compatible_config(cfg: Any) -> Any:
+    """Rewrite ``_target_`` names to the reference's module paths so the
+    exported ``config.yaml`` instantiates under BOTH implementations
+    (our instantiate registry accepts either spelling)."""
+    if isinstance(cfg, dict):
+        out = {k: reference_compatible_config(v) for k, v in cfg.items()}
+        if '_target_' in out:
+            out['_target_'] = _TARGET_TO_REFERENCE.get(out['_target_'], out['_target_'])
+        return out
+    if isinstance(cfg, list):
+        return [reference_compatible_config(v) for v in cfg]
+    return cfg
+
+
 def save_checkpoint_folder(folder: str, config: dict, variables: dict, torch_compat: bool = True) -> None:
     """Write a deployable checkpoint folder (the format ``load_model`` and the
     reference's ``api.load_model`` consume)."""

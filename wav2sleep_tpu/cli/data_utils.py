@@ -1,0 +1,7 @@
+"""Back-compat re-export shim (reference: src/wav2sleep/cli/data_utils.py)."""
+
+from ..api import load_dataset, prepare
+
+prepare_dataset = prepare
+
+__all__ = ['prepare', 'prepare_dataset', 'load_dataset']

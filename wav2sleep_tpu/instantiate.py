@@ -63,6 +63,19 @@ _register(
 )
 
 
+def _build_masker(**kw):
+    from .train.masker import SignalMasker
+
+    return SignalMasker(**kw)
+
+
+_register(
+    _build_masker,
+    'wav2sleep.trainer.masker.SignalMasker',
+    'wav2sleep_tpu.train.masker.SignalMasker',
+)
+
+
 def model_family(cfg: dict) -> str:
     """'wav2sleep' or 'ppgnet' from a model config dict."""
     target = cfg.get('_target_', '')
