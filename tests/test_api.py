@@ -124,9 +124,8 @@ def test_predict_on_folder_e2e(checkpoint_folder, edf_folder, tmp_path):
         max_length_hours=1,
         batch_size=2,
         return_tensors=True,
+        tmp_root_folder=cache_root,
     )
-    # predict_on_folder caches under tempdir; re-derive parquet for the
-    # differential check via prepare (cache hit).
     assert labels is None  # EDFs carry no labels.
     assert len(preds) == 2
     csvs = sorted(
@@ -139,7 +138,7 @@ def test_predict_on_folder_e2e(checkpoint_folder, edf_folder, tmp_path):
     assert set(np.unique(df['Pred'])) <= {0, 1, 2, 3}
 
     # Differential: torch reference on the same preprocessed parquet.
-    parquet_folder = api.prepare(edf_folder, ['ECG', 'THX'], max_length_hours=1)
+    parquet_folder = api.prepare(edf_folder, ['ECG', 'THX'], max_length_hours=1, tmp_root_folder=cache_root)
     ds = api.load_dataset(parquet_folder, ['ECG', 'THX'], num_classes=4, max_length_hours=1)
     for idx in range(len(ds)):
         signals, _ = ds[idx]
@@ -170,6 +169,7 @@ def test_predict_with_subset(checkpoint_folder, edf_folder, tmp_path):
         signals=['ECG'],
         max_length_hours=1,
         return_tensors=True,
+        tmp_root_folder=str(tmp_path / 'cache_ecg'),
     )
     assert len(preds) == 2 and all(len(p) == 120 for p in preds)
 

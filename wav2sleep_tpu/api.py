@@ -317,6 +317,7 @@ def predict_on_folder(
     compile: bool = False,  # noqa: A002 - reference API name
     return_tensors: bool = False,
     precision: str = 'float32',
+    tmp_root_folder: str | None = None,
 ):
     """End-to-end: (optionally) preprocess a folder, run inference, save CSVs.
 
@@ -337,7 +338,12 @@ def predict_on_folder(
             raise ValueError(f'Invalid signal subset: {signals}. Valid signals are: {sorted(valid)}')
 
     if preprocess:
-        parquet_folder = prepare(input_folder=input_folder, signals=signals, max_length_hours=max_length_hours)
+        parquet_folder = prepare(
+            input_folder=input_folder,
+            signals=signals,
+            max_length_hours=max_length_hours,
+            tmp_root_folder=tmp_root_folder,
+        )
     else:
         parquet_folder = input_folder
 
