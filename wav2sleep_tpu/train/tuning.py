@@ -1,0 +1,64 @@
+"""Batch-size auto-tuning (the Lightning Tuner power-scaling role,
+reference scripts/train.py:49-57).
+
+Probes doubling global batch sizes by compiling + executing one train step
+with synthetic data until the device runs out of HBM, then returns the last
+size that fit. Single-trace probes: each size costs one compile.
+"""
+
+from __future__ import annotations
+
+import logging
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+
+def tune_batch_size(
+    model,
+    columns: list[str],
+    num_classes: int = 4,
+    epochs_per_night: int = 1200,
+    start: int = 4,
+    max_batch: int = 512,
+    family: str = 'wav2sleep',
+) -> int:
+    """Largest power-of-two batch whose train step fits on one device."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from ..settings import COLS_TO_SAMPLES_PER_EPOCH
+    from .step import init_train_state, make_optimizer, make_train_step
+
+    tx = make_optimizer(1e-3)
+    rng = jax.random.PRNGKey(0)
+
+    def make_batch(b: int):
+        x = {
+            c: jnp.zeros((b, COLS_TO_SAMPLES_PER_EPOCH[c] * epochs_per_night), jnp.float32)
+            for c in columns
+        }
+        y = jnp.zeros((b, epochs_per_night), jnp.float32)
+        return x, y
+
+    best = 0
+    b = start
+    while b <= max_batch:
+        try:
+            x, y = make_batch(b)
+            state = init_train_state(model, tx, x, rng, family=family)
+            step = jax.jit(make_train_step(model, tx, num_classes, flip_polarity=False, family=family))
+            state, metrics = step(state, (x, y), rng)
+            jax.block_until_ready(metrics['loss'])
+            del state, metrics
+            logger.info(f'batch {b}: OK')
+            best = b
+            b *= 2
+        except Exception as e:  # XlaRuntimeError RESOURCE_EXHAUSTED etc.
+            if 'RESOURCE_EXHAUSTED' in str(e) or 'out of memory' in str(e).lower():
+                logger.info(f'batch {b}: OOM — settling on {best}.')
+                break
+            raise
+    return best
