@@ -56,6 +56,19 @@ def main(argv: list[str] | None = None) -> dict:
     mesh = make_mesh(devices[:n_dev], data=n_dev, model=1) if n_dev > 1 else None
 
     batch_size = cfg['batch_size']
+    if cfg.get('tune_batch_size') and n_dev == 1:  # single-device only, like the reference
+        from wav2sleep_tpu.train.tuning import tune_batch_size
+
+        tuned = tune_batch_size(
+            model,
+            columns=list(cfg['inputs']['signal_map'].keys()),
+            num_classes=cfg['num_classes'],
+            epochs_per_night=cfg.get('pad_to_epochs') or cfg['max_length_hours'] * 120,
+            family=family,
+        )
+        if tuned:
+            logger.info(f'Tuned batch size: {tuned}')
+            batch_size = tuned
     accumulate = max(cfg['target_batch_size'] // (batch_size * max(n_dev, 1)), 1)
     if accumulate > 1:
         logger.info(f'Gradient accumulation: {accumulate} steps (effective batch {batch_size * n_dev * accumulate}).')

@@ -196,3 +196,75 @@ def test_ppgnet_parity(ref_ppgnet):
     y_j = jnet.apply(variables, jnp.asarray(x))
     assert y_j.shape == (1, 1200, 4)
     np.testing.assert_allclose(np.asarray(y_j), y_t, atol=1e-3, rtol=1e-3)
+
+
+def test_register_tokens_parity(ref_models):
+    """Epoch mixer with extra register tokens must match torch."""
+    torch.manual_seed(7)
+    tm = ref_models.MultiModalAttentionEmbedder(
+        feature_dim=32, layers=1, dropout=0.0, dim_ff=64, nhead=4, register_tokens=3
+    )
+    tm.train(False)
+    jmm = jm.MultiModalAttentionEmbedder(
+        feature_dim=32, layers=1, dropout=0.0, dim_ff=64, nhead=4, register_tokens=3
+    )
+    rng = np.random.default_rng(7)
+    za = rng.normal(size=(2, 4, 32)).astype(np.float32)
+    zb = rng.normal(size=(2, 4, 32)).astype(np.float32)
+    with torch.no_grad():
+        y_t = _to_np(tm({'A': torch.from_numpy(za), 'B': torch.from_numpy(zb)}))
+    variables = convert_state_dict(torch_sd_to_numpy(tm))
+    y_j = jmm.apply(variables, {'A': jnp.asarray(za), 'B': jnp.asarray(zb)})
+    np.testing.assert_allclose(np.asarray(y_j), y_t, atol=ATOL, rtol=RTOL)
+
+
+def test_eog_encoder_parity(ref_models):
+    """EOG-rate encoder (4096 samples/epoch -> 10 conv blocks) parity."""
+    torch.manual_seed(8)
+    te = ref_models.SignalEncoder(
+        feature_dim=24, samples_per_epoch=4096, activation='gelu', norm='instance',
+        initial_channels=4, max_channels=16,
+    )
+    te.eval()
+    je = jm.SignalEncoder(
+        feature_dim=24, samples_per_epoch=4096, activation='gelu', norm='instance',
+        initial_channels=4, max_channels=16,
+    )
+    x = np.random.default_rng(8).normal(size=(1, 4096 * 3)).astype(np.float32)
+    with torch.no_grad():
+        y_t = _to_np(te(torch.from_numpy(x)))
+    variables = convert_state_dict(torch_sd_to_numpy(te))
+    y_j = je.apply(variables, jnp.asarray(x))
+    assert y_j.shape == (1, 3, 24)
+    np.testing.assert_allclose(np.asarray(y_j), y_t, atol=5e-4, rtol=5e-4)
+
+
+def test_five_class_full_model(ref_models):
+    torch.manual_seed(9)
+    signal_map = {'EOG-L': 'EOG-L', 'EOG-R': 'EOG-R'}
+    enc_kwargs = dict(feature_dim=24, activation='gelu', norm='instance', chunk_causal=False,
+                      initial_channels=4, max_channels=16)
+    tmodel = ref_models.Wav2Sleep(
+        signal_encoders=ref_models.SignalEncoders(signal_map=signal_map, **enc_kwargs),
+        epoch_mixer=ref_models.MultiModalAttentionEmbedder(feature_dim=24, layers=1, dropout=0.0, dim_ff=48, nhead=4),
+        sequence_mixer=ref_models.SequenceCNN(feature_dim=24, dropout=0.0, activation='gelu', norm='layer',
+                                              num_layers=1, kernel_size=7, num_dilations=2),
+        num_classes=5,
+    )
+    tmodel.eval()
+    jmodel = jm.Wav2Sleep(
+        signal_encoders=jm.SignalEncoders(signal_map=jm.as_signal_map(signal_map), **enc_kwargs),
+        epoch_mixer=jm.MultiModalAttentionEmbedder(feature_dim=24, layers=1, dropout=0.0, dim_ff=48, nhead=4),
+        sequence_mixer=jm.SequenceCNN(feature_dim=24, dropout=0.0, activation='gelu', norm='layer',
+                                      num_layers=1, kernel_size=7, num_dilations=2),
+        num_classes=5,
+    )
+    rng = np.random.default_rng(9)
+    x = {'EOG-L': rng.normal(size=(1, 4096 * 3)).astype(np.float32),
+         'EOG-R': rng.normal(size=(1, 4096 * 3)).astype(np.float32)}
+    with torch.no_grad():
+        y_t = _to_np(tmodel({k: torch.from_numpy(v) for k, v in x.items()}))
+    variables = convert_state_dict(torch_sd_to_numpy(tmodel))
+    y_j = jmodel.apply(variables, {k: jnp.asarray(v) for k, v in x.items()})
+    assert y_j.shape == (1, 3, 5)
+    np.testing.assert_allclose(np.asarray(y_j), y_t, atol=5e-4, rtol=5e-4)

@@ -221,3 +221,14 @@ def test_early_stopping(corpus, tmp_path):
     trainer.fit()
     # With lr=0 val loss never improves after first epoch: stops early.
     assert trainer.current_epoch < 49
+
+
+def test_trainer_predict(corpus, tmp_path):
+    trainer = make_trainer(corpus, tmp_path / 'run_pred', epochs=1)
+    trainer.fit()
+    loaders = trainer.datamodule.test_loaders()
+    name, loader = loaders[0]
+    out = trainer.predict(loader)
+    assert set(out) >= {'labels', 'preds', 'preds_ECG', 'preds_ECG_THX'}
+    assert out['preds'].shape == out['labels'].shape
+    assert out['preds_ECG'].shape == out['preds'].shape

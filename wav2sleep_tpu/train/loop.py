@@ -355,6 +355,30 @@ class Trainer:
                 break
         return last_val
 
+    def predict(self, loader) -> dict[str, np.ndarray]:
+        """Prediction pass emitting ECG-only / ECG+THX / all-modality
+        hypnograms plus labels (reference predict_step,
+        trainer/main.py:226-240), via presence masks on one compiled graph."""
+        params = self._eval_params()
+        outputs: dict[str, list[np.ndarray]] = {'labels': [], 'preds': []}
+        cols = set(self.datamodule.columns)
+        want_ecg = ECG in cols
+        want_ecg_thx = want_ecg and THX in cols
+        for x, y in loader:
+            outputs['labels'].append(np.asarray(y))
+            out = self._jit_eval(params, self.state.batch_stats, self._device_batch(x, y), None)
+            outputs['preds'].append(np.asarray(out['preds']))
+            B = y.shape[0]
+            if want_ecg:
+                present = {k: np.full((B,), k == ECG, bool) for k in x}
+                out = self._jit_eval(params, self.state.batch_stats, self._device_batch(x, y), present)
+                outputs.setdefault(f'preds_{ECG}', []).append(np.asarray(out['preds']))
+            if want_ecg_thx:
+                present = {k: np.full((B,), k in (ECG, THX), bool) for k in x}
+                out = self._jit_eval(params, self.state.batch_stats, self._device_batch(x, y), present)
+                outputs.setdefault(f'preds_{ECG}_{THX}', []).append(np.asarray(out['preds']))
+        return {k: np.concatenate(v, axis=0) for k, v in outputs.items()}
+
     def restore(self, path: str, manager=None) -> int:
         from .checkpointing import CheckpointManager
 
