@@ -39,6 +39,10 @@ def main(argv: list[str] | None = None) -> dict:
 
     import jax
 
+    from wav2sleep_tpu.parallel.mesh import maybe_initialize_distributed
+
+    maybe_initialize_distributed()
+
     from wav2sleep_tpu.checkpoint import reference_compatible_config
     from wav2sleep_tpu.instantiate import instantiate, model_family
     from wav2sleep_tpu.parallel.mesh import make_mesh

@@ -1,4 +1,7 @@
+from .map import parallelise, shard_across_hosts
 from .mesh import (
+    global_batch_from_local,
+    maybe_initialize_distributed,
     DATA_AXIS,
     MODEL_AXIS,
     batch_sharding,
@@ -10,6 +13,10 @@ from .mesh import (
 )
 
 __all__ = [
+    'parallelise',
+    'shard_across_hosts',
+    'maybe_initialize_distributed',
+    'global_batch_from_local',
     'DATA_AXIS',
     'MODEL_AXIS',
     'make_mesh',

@@ -20,6 +20,41 @@ DATA_AXIS = 'data'
 MODEL_AXIS = 'model'
 
 
+def maybe_initialize_distributed() -> bool:
+    """Initialize jax.distributed on TPU-VM pods (multi-host training).
+
+    The reference delegates process-group setup to Lightning/NCCL
+    (SURVEY.md §5.8); on TPU pods ``jax.distributed.initialize()``
+    auto-discovers coordinates from the TPU environment. No-ops on
+    single-host/CI setups. Returns True if running multi-process.
+    """
+    import os
+
+    if jax.process_count() > 1:
+        return True
+    pod_env = any(
+        os.environ.get(k) for k in ('TPU_WORKER_HOSTNAMES', 'JAX_COORDINATOR_ADDRESS', 'MEGASCALE_COORDINATOR_ADDRESS')
+    )
+    if not pod_env:
+        return False
+    try:
+        jax.distributed.initialize()
+    except Exception as e:  # Already initialized / single-host tunnel.
+        import logging
+
+        logging.getLogger(__name__).info(f'jax.distributed.initialize skipped: {e}')
+    return jax.process_count() > 1
+
+
+def global_batch_from_local(mesh: Mesh, batch):
+    """Assemble a globally-sharded batch from per-process local shards
+    (multi-host input pipeline: each host loads its own nights)."""
+    sharding = NamedSharding(mesh, P(DATA_AXIS))
+    return jax.tree_util.tree_map(
+        lambda x: jax.make_array_from_process_local_data(sharding, np.asarray(x)), batch
+    )
+
+
 def make_mesh(devices=None, data: int | None = None, model: int = 1) -> Mesh:
     """Create a (data, model) mesh over the available devices."""
     if devices is None:

@@ -215,6 +215,13 @@ class Trainer:
 
     def _device_batch(self, x, y):
         if self.mesh is not None:
+            import jax as _jax
+
+            if _jax.process_count() > 1:
+                # Multi-host: each process contributes its local shard.
+                from ..parallel.mesh import global_batch_from_local
+
+                return global_batch_from_local(self.mesh, (x, y))
             from ..parallel.mesh import shard_batch
 
             return shard_batch(self.mesh, (x, y))
