@@ -98,3 +98,11 @@ def _configure(lib: ctypes.CDLL) -> None:
         f32, u8,
     ]
     lib.w2s_ema_normalize_f32.restype = None
+
+    i16 = npc.ndpointer(dtype=np.int16, flags='C_CONTIGUOUS')
+    lib.w2s_decode_resample.argtypes = [
+        i16, c_i64, c_i64, c_i64, c_i64,
+        c_double, c_double, c_double, c_double, c_double, c_double,
+        f64, c_i64, f32,
+    ]
+    lib.w2s_decode_resample.restype = None

@@ -28,12 +28,25 @@ logger = logging.getLogger(__name__)
 
 
 class NightDecoder:
-    """EDF -> model-grid decoder with pooled buffers (single-threaded)."""
+    """EDF -> model-grid decoder with pooled buffers (single-threaded).
 
-    def __init__(self, signals: list[str], max_length_hours: float = 10.0):
+    Uses the fused C++ kernel (native/src/edf_decode.cpp: strided int16
+    gather + affine + lerp straight off the memmap, one pass) when the
+    native library is available; pooled-numpy otherwise.
+    """
+
+    def __init__(self, signals: list[str], max_length_hours: float = 10.0, use_native: bool = True):
+        from .data.preprocessing import signal_target_grid
+        from . import native
+
         self.signals = list(signals)
         self.max_length_hours = max_length_hours
         self._raw_pool: dict[int, np.ndarray] = {}
+        self._lib = native.get_lib() if use_native else None
+        self._grids = {
+            col: np.ascontiguousarray(signal_target_grid(col, max_length_hours), dtype=np.float64)
+            for col in self.signals
+        }
 
     def _raw_buffer(self, n: int) -> np.ndarray:
         buf = self._raw_pool.get(n)
@@ -56,16 +69,37 @@ class NightDecoder:
                     out[col].fill(-np.inf)
                     present[col] = False
                     continue
-                n = f.n_samples(actual)
-                raw = f.read_physical(actual, dtype=np.float32, out=self._raw_buffer(n))
                 ch = f.channel(actual)
                 _, scale, offset = channel_norm_affine(col, ch.unit, ch.physical_min, ch.physical_max)
-                if scale != 1.0:
-                    raw *= np.float32(scale)
-                if offset != 0.0:
-                    raw += np.float32(offset)
                 fs = f.sampling_freq(actual)
-                resample_uniform(raw, fs, col, self.max_length_hours, out=out[col])
+                grid = self._grids[col]
+                dst = out[col]
+                if self._lib is not None and dst.flags.c_contiguous:
+                    records = f._records  # [n_records, stride] int16 memmap
+                    self._lib.w2s_decode_resample(
+                        records,
+                        f.header.n_records,
+                        records.shape[1],
+                        int(f._offsets[ch.index]),
+                        ch.samples_per_record,
+                        float(ch.digital_min),
+                        float(ch.bitvalue),
+                        float(ch.physical_min),
+                        float(scale),
+                        float(offset),
+                        float(fs),
+                        grid,
+                        len(grid),
+                        dst,
+                    )
+                else:
+                    n = f.n_samples(actual)
+                    raw = f.read_physical(actual, dtype=np.float32, out=self._raw_buffer(n))
+                    if scale != 1.0:
+                        raw *= np.float32(scale)
+                    if offset != 0.0:
+                        raw += np.float32(offset)
+                    resample_uniform(raw, fs, col, self.max_length_hours, out=dst)
                 present[col] = True
         return present
 
