@@ -119,6 +119,7 @@ def main(argv: list[str] | None = None) -> dict:
         ema_start_step=tcfg['ema']['start_step'],
         early_stopping_patience=tcfg['early_stopping_patience'],
         reset_early_stopping=tcfg['reset_early_stopping'],
+        precision=cfg['precision'],
         seed=cfg['seed'],
         log_dir=log_dir,
         mesh=mesh,

@@ -64,7 +64,7 @@ def reference_compatible_config(cfg: Any) -> Any:
     exported ``config.yaml`` instantiates under BOTH implementations
     (our instantiate registry accepts either spelling)."""
     if isinstance(cfg, dict):
-        out = {k: reference_compatible_config(v) for k, v in cfg.items()}
+        out = {k: reference_compatible_config(v) for k, v in cfg.items() if k != 'remat'}
         if '_target_' in out:
             out['_target_'] = _TARGET_TO_REFERENCE.get(out['_target_'], out['_target_'])
         return out

@@ -30,6 +30,7 @@ class SleepPPGNet(nn.Module):
     dropout: float = 0.2
     activation: str = 'leaky'
     norm: str = 'batch'
+    remat: bool = False  # Rematerialize window-encoder blocks in backward.
 
     @nn.compact
     def __call__(self, x_BT: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -42,11 +43,14 @@ class SleepPPGNet(nn.Module):
         if x_BT.shape[1] != self.INPUT_LENGTH:
             raise ValueError(f'Input tensor had unexpected shape: {x_BT.shape}')
         y = x_BT[:, :, None]
+        block_cls = ConvBlock1D
+        if self.remat:
+            block_cls = nn.remat(ConvBlock1D, static_argnums=(2,))
         # Window encoder: 8 stride-2 blocks -> [B, 4800, 256].
         for i, ch in enumerate(WINDOW_CHANNELS):
-            y = ConvBlock1D(
+            y = block_cls(
                 features=ch, activation=self.activation, norm=self.norm, name=f'conv_block_{i}'
-            )(y, train=train)
+            )(y, train)
         # Time-distributed dense: [B, 4800, 256] -> [B, 1200, 1024] -> [B, 1200, F].
         y = y.reshape(y.shape[0], 1200, 1024)
         y = nn.Dense(self.feature_dim, kernel_init=dense_kernel_init, name='dense')(y)

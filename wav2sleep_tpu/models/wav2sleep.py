@@ -69,6 +69,11 @@ class SignalEncoder(nn.Module):
     chunk_causal: bool = True
     output_norm: bool = False
     use_residual: bool = True
+    # Rematerialize each conv block in the backward pass. The early blocks
+    # hold [B, ~1.2M, C] activations; saving them all OOMs a 16 GB chip at
+    # batch 4, while recomputing costs ~1/3 extra encoder FLOPs. Enable for
+    # training (scripts/config/model/wav2sleep.yaml); inference ignores it.
+    remat: bool = False
 
     @property
     def channels(self) -> list[int]:
@@ -97,6 +102,10 @@ class SignalEncoder(nn.Module):
         else:
             y = x_BT[:, :, None]  # [B, T, 1]
 
+        block_cls = ConvBlock1D
+        if self.remat:
+            # static_argnums counts the bound method's args: (self, x, train).
+            block_cls = nn.remat(ConvBlock1D, static_argnums=(2,))
         for i, ch in enumerate(self.channels):
             if self.norm == 'auto':
                 norm_i = 'instance' if i < 2 else 'layer'
@@ -105,7 +114,7 @@ class SignalEncoder(nn.Module):
             # Larger instance-norm eps prevents NaN on low-variance maps
             # (reference :213-215).
             norm_eps = 1e-2 if norm_i == 'instance' else None
-            y = ConvBlock1D(
+            y = block_cls(
                 features=ch,
                 activation=self.activation,
                 norm=norm_i,
@@ -113,7 +122,7 @@ class SignalEncoder(nn.Module):
                 causal=causal_conv_mode,
                 use_residual=self.use_residual,
                 name=f'cnn_{i}',
-            )(y, train=train)
+            )(y, train)
 
         # [*, 4S or 4, C] -> [B, S, 4*C]; channels-last layout makes this the
         # same memory order as the reference's transpose+reshape (:254-261).
@@ -143,6 +152,7 @@ class SignalEncoders(nn.Module):
     max_channels: int = 128
     output_norm: bool = False
     use_residual: bool = True
+    remat: bool = False
 
     def setup(self):
         encoders = {}
@@ -162,6 +172,7 @@ class SignalEncoders(nn.Module):
                 max_channels=self.max_channels,
                 output_norm=self.output_norm,
                 use_residual=self.use_residual,
+                remat=self.remat,
                 name=f'encoders_{encoder_name}',
             )
         self.encoders = encoders

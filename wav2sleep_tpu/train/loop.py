@@ -147,6 +147,7 @@ class Trainer:
     early_stopping_patience: int = 5
     reset_early_stopping: bool = False
     # Infra
+    precision: str = 'float32'  # 'float32' | 'bfloat16' (mixed: f32 master params)
     seed: int = 42
     log_dir: str = 'runs/default'
     mesh: Any = None
@@ -182,6 +183,7 @@ class Trainer:
             label_smoothing=self.label_smoothing,
             ema_decay=self.ema_decay,
             ema_start_step=self.ema_start_step,
+            compute_dtype=jnp.bfloat16 if self.precision == 'bfloat16' else None,
         )
         self._eval_step = make_eval_step(self.model, self.num_classes, family=self.family)
         self._jit_train = None

@@ -85,6 +85,16 @@ def init_train_state(
     ema: bool = False,
 ) -> TrainState:
     x = _model_input(example_batch, family)
+    if family != 'ppgnet':
+        # Parameters are independent of batch/sequence length: initialize on
+        # a 1-night, 2-epoch example so init doesn't compile a full-size
+        # forward (SleepPPG-Net hard-codes its input length, so keep it).
+        from ..settings import COLS_TO_SAMPLES_PER_EPOCH
+
+        x = {
+            k: jnp.zeros((1, COLS_TO_SAMPLES_PER_EPOCH[k] * 2), v.dtype if hasattr(v, 'dtype') else jnp.float32)
+            for k, v in x.items()
+        }
     variables = model.init(rng, x, train=False)
     params = variables['params']
     batch_stats = variables.get('batch_stats')
@@ -115,10 +125,15 @@ def make_train_step(
     label_smoothing: float = 0.0,
     ema_decay: float | None = None,
     ema_start_step: int = 0,
+    compute_dtype: Any = None,
 ) -> Callable:
-    """Build the (unjitted) train step; see ``parallelize`` to jit over a mesh."""
+    """Build the (unjitted) train step; see ``parallelize`` to jit over a mesh.
 
-    has_batch_stats_model = family == 'ppgnet'  # batch norm by default
+    ``compute_dtype=jnp.bfloat16`` runs the forward/backward in bf16 against
+    float32 master params (mixed precision: params are cast inside the loss,
+    so gradients and the AdamW update stay f32; the loss itself is computed
+    in f32 by ``cross_entropy_ignore_index``).
+    """
 
     def train_step(state: TrainState, batch, rng: jax.Array):
         x, y = batch
@@ -130,21 +145,24 @@ def make_train_step(
             x = masker(rng_mask, x)
 
         def loss_fn(params):
-            variables = {'params': params}
+            apply_params = params
+            xin = _model_input(x, family)
+            if compute_dtype is not None:
+                apply_params = jax.tree_util.tree_map(lambda p: p.astype(compute_dtype), params)
+                xin = jax.tree_util.tree_map(lambda v: v.astype(compute_dtype), xin)
+            variables = {'params': apply_params}
             if state.batch_stats is not None:
                 variables['batch_stats'] = state.batch_stats
                 logits, mutated = model.apply(
                     variables,
-                    _model_input(x, family),
+                    xin,
                     train=True,
                     rngs={'dropout': rng_drop},
                     mutable=['batch_stats'],
                 )
                 new_stats = mutated['batch_stats']
             else:
-                logits = model.apply(
-                    variables, _model_input(x, family), train=True, rngs={'dropout': rng_drop}
-                )
+                logits = model.apply(variables, xin, train=True, rngs={'dropout': rng_drop})
                 new_stats = None
             loss = cross_entropy_ignore_index(
                 logits.reshape(-1, num_classes), y.reshape(-1), label_smoothing
