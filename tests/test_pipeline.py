@@ -92,3 +92,50 @@ def test_streaming_pipeline_end_to_end(tmp_path):
     for hyp in results.values():
         assert hyp.shape == (6,)
         assert set(np.unique(hyp)) <= {0, 1, 2, 3}
+
+
+def test_raw_int16_pipeline_matches_f32(tmp_path):
+    """Raw-int16 on-device decode must produce the same hypnograms as the
+    host-decoded f32 path."""
+    import jax
+
+    from wav2sleep_tpu import models as jm
+    from wav2sleep_tpu.pipeline import StreamingPipelineRaw
+
+    model = jm.Wav2Sleep(
+        signal_encoders=jm.SignalEncoders(
+            signal_map=jm.as_signal_map({'ECG': 'ECG', 'THX': 'THX'}),
+            feature_dim=16, activation='gelu', norm='instance', chunk_causal=False,
+            initial_channels=4, max_channels=8,
+        ),
+        epoch_mixer=jm.MultiModalAttentionEmbedder(feature_dim=16, layers=1, dim_ff=32, nhead=4, dropout=0.0),
+        sequence_mixer=jm.SequenceCNN(feature_dim=16, num_layers=1, kernel_size=3, num_dilations=2, norm='layer', dropout=0.0),
+        num_classes=4,
+    )
+    hours = 6 / 120
+    rng = np.random.default_rng(3)
+    fps = []
+    for i in range(3):
+        sigs = {'ECG': rng.normal(size=int(1024 / 30 * 30) * 6) * 0.5}
+        if i != 1:  # file 1 misses THX -> present mask exercised
+            sigs['THOR RES'] = rng.normal(size=int(256 / 30 * 30) * 6) * 0.4
+        fp = str(tmp_path / f'{i}.edf')
+        write_edf(
+            fp, sigs,
+            {k: (1024 if k == 'ECG' else 256) / 30 for k in sigs},
+            physical_ranges={k: (-3, 3) for k in sigs},
+            record_duration=30.0,
+        )
+        fps.append(fp)
+    x0 = {'ECG': np.zeros((1, 1024 * 6), np.float32), 'THX': np.zeros((1, 256 * 6), np.float32)}
+    variables = model.init(jax.random.PRNGKey(0), x0)
+
+    raw_pipe = StreamingPipelineRaw(model, variables, ['ECG', 'THX'], batch_size=2,
+                                    max_length_hours=hours, precision='float32')
+    out_raw = dict(raw_pipe.run(fps))
+    f32_pipe = StreamingPipeline(model, variables, ['ECG', 'THX'], batch_size=2,
+                                 max_length_hours=hours, precision='float32')
+    out_f32 = dict(f32_pipe.run(fps))
+    for fp in fps:
+        agreement = (out_raw[fp] == out_f32[fp]).mean()
+        assert agreement == 1.0, (fp, out_raw[fp], out_f32[fp])

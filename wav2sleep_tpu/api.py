@@ -249,11 +249,12 @@ def predict(
     ``batch_size`` so the whole dataset reuses a handful of compiled graphs.
     """
     del device  # Single-process JAX: default device.
-    items = [dataset[i] for i in range(len(dataset))]
     predictions: list[np.ndarray] = []
     labels: list[np.ndarray] = []
-    for i in range(0, len(items), batch_size):
-        chunk = items[i : i + batch_size]
+    for i in range(0, len(dataset), batch_size):
+        # Stream chunk-by-chunk: a 10 h 4-signal night is ~20 MB of host
+        # arrays, so materializing a whole folder up front doesn't scale.
+        chunk = [dataset[j] for j in range(i, min(i + batch_size, len(dataset)))]
         epochs = [len(it[1]) for it in chunk]
         bucket = int(np.ceil(max(epochs) / EPOCH_BUCKET) * EPOCH_BUCKET)
         padded = [pad_or_truncate_item(it, bucket) for it in chunk]

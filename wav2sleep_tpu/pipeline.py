@@ -157,6 +157,256 @@ def make_streaming_forward(model, precision: str = 'bfloat16', normalize: str | 
     return forward
 
 
+class RawNightExtractor:
+    """Host side of the int16 fast path: strided channel extraction only.
+
+    The digital->physical affine, resampling and normalization all move to
+    the device; the host ships raw int16 (half the bytes of resampled f32 —
+    and the H2D link is this pipeline's bottleneck) plus per-row metadata.
+    """
+
+    def __init__(self, signals: list[str]):
+        self.signals = list(signals)
+
+    def probe_bucket(self, fp: str) -> dict[str, int]:
+        """Raw-length bucket per signal from one file's header (rounded up
+        so minor rate differences between files reuse the same shapes)."""
+        from .data.edf import read_edf_header
+
+        h = read_edf_header(fp)
+        labels = [c.label for c in h.channels]
+        units = {c.label: c.unit for c in h.channels}
+        bucket = {}
+        for col in self.signals:
+            actual = get_column_match(col, labels, units_map=units, raise_error=False)
+            if actual is None:
+                bucket[col] = 65536
+                continue
+            ch = next(c for c in h.channels if c.label == actual)
+            n = ch.samples_per_record * h.n_records
+            bucket[col] = int(np.ceil(n / 65536)) * 65536
+        return bucket
+
+    def extract_into(self, fp: str, out_i16: dict[str, np.ndarray], meta: dict[str, np.ndarray], row: int) -> None:
+        """Fill ``out_i16[col][row]`` and the metadata row: columns
+        a (fused affine scale), b (offset), fs, n, present."""
+        with EdfFile(fp) as f:
+            labels = f.labels()
+            units_map = {c.label: c.unit for c in f.header.channels}
+            for col in self.signals:
+                m = meta[col]
+                actual = get_column_match(col, labels, units_map=units_map, raise_error=False)
+                if actual is None:
+                    m[row] = (0.0, 0.0, 1.0, 0, False)
+                    continue
+                ch = f.channel(actual)
+                n = f.n_samples(actual)
+                cap = out_i16[col].shape[1]
+                n = min(n, cap)
+                lo = f._offsets[ch.index]
+                view = f._records[:, lo : lo + ch.samples_per_record]
+                dst = out_i16[col][row, :n].reshape(-1, ch.samples_per_record)[: n // ch.samples_per_record]
+                np.copyto(dst, view[: dst.shape[0]])
+                _, scale, offset = channel_norm_affine(col, ch.unit, ch.physical_min, ch.physical_max)
+                a = ch.bitvalue * scale
+                b = (ch.physical_min - ch.digital_min * ch.bitvalue) * scale + offset
+                m[row] = (a, b, f.sampling_freq(actual), n, True)
+
+
+META_DTYPE = np.dtype([('a', 'f4'), ('b', 'f4'), ('fs', 'f8'), ('n', 'i4'), ('present', '?')])
+
+ANCHOR_K = 4096  # Grid points per anchor block in the on-device resampler.
+
+
+def compute_resample_anchors(fs: float, step: float, n_grid: int, k: int = ANCHOR_K):
+    """Block anchors for precise on-device resampling.
+
+    Source position of grid point j is ``pos_j = (j+1) * step * fs``. f32
+    cannot hold sub-sample fractions at million-sample magnitudes, so the
+    host precomputes, per K-point block, the integer/fractional split of the
+    block-start position in f64; the device reconstructs
+    ``pos = base_int + (base_frac + offset*ratio)`` where the in-f32 part
+    stays < K (fully precise).
+    """
+    nb = int(np.ceil(n_grid / k))
+    ratio = step * fs
+    starts = (np.arange(nb, dtype=np.float64) * k + 1.0) * ratio
+    base_int = np.floor(starts).astype(np.int32)
+    base_frac = (starts - np.floor(starts)).astype(np.float32)
+    return base_int, base_frac, np.float32(ratio)
+
+
+def make_streaming_forward_raw(model, grids: dict[str, np.ndarray], precision: str = 'bfloat16') -> Callable:
+    """Jitted forward over raw int16 channels: on-device affine decode,
+    anchor-precise linear resample (dynamic gather), z-score, model, argmax."""
+    import jax
+    import jax.numpy as jnp
+
+    dtype = jnp.bfloat16 if precision == 'bfloat16' else jnp.float32
+    n_grid = {k: len(v) for k, v in grids.items()}
+
+    @jax.jit
+    def forward(variables, raw, a, b, base_int, base_frac, ratio, n, present):
+        x = {}
+        for col, r in raw.items():
+            B = r.shape[0]
+            Tg = n_grid[col]
+            nb = base_int[col].shape[1]
+            v = r.astype(jnp.float32) * a[col][:, None] + b[col][:, None]
+            off = jnp.arange(ANCHOR_K, dtype=jnp.float32)
+            # po stays < K * ratio: fully f32-precise.
+            po = off[None, None, :] * ratio[col][:, None, None] + base_frac[col][:, :, None]
+            po_floor = jnp.floor(po)
+            idx = base_int[col][:, :, None] + po_floor.astype(jnp.int32)  # [B, nb, K]
+            frac = po - po_floor
+            idx = idx.reshape(B, nb * ANCHOR_K)[:, :Tg]
+            frac = frac.reshape(B, nb * ANCHOR_K)[:, :Tg]
+            n_col = n[col][:, None]
+            invalid = (idx < 0) | (idx > n_col - 1) | ((idx == n_col - 1) & (frac > 0))
+            idx0 = jnp.clip(idx, 0, n_col - 1)
+            idx1 = jnp.minimum(idx0 + 1, n_col - 1)
+            s0 = jnp.take_along_axis(v, idx0, axis=1)
+            s1 = jnp.take_along_axis(v, idx1, axis=1)
+            s = jnp.where(invalid, 0.0, s0 + frac * (s1 - s0))
+            # Per-recording z-score (ddof=1, eps 1e-6).
+            mu = jnp.mean(s, axis=1, keepdims=True)
+            std = jnp.sqrt(jnp.sum(jnp.square(s - mu), axis=1, keepdims=True) / (s.shape[1] - 1))
+            z = ((s - mu) / jnp.maximum(std, 1e-6)).astype(dtype)
+            x[col] = jnp.where(present[col][:, None], z, jnp.asarray(-jnp.inf, dtype))
+        return jnp.argmax(model.apply(variables, x), axis=-1).astype(jnp.int32)
+
+    return forward
+
+
+class StreamingPipelineRaw:
+    """int16-transfer variant: ship raw channels, decode/resample/normalize
+    on device. Halves H2D bytes vs resampled f32 and removes the host's
+    affine+resample passes — on link-bound hosts this is the fastest path.
+    Falls back gracefully if a corpus file outgrows the probed raw buckets
+    (buffers regrow; one extra compile)."""
+
+    def __init__(
+        self,
+        model,
+        variables,
+        signals: list[str],
+        batch_size: int = 8,
+        max_length_hours: float = 10.0,
+        precision: str = 'bfloat16',
+        prefetch: int = 2,
+    ):
+        from .data.preprocessing import signal_target_grid
+
+        self.signals = list(signals)
+        self.batch_size = batch_size
+        self.max_length_hours = max_length_hours
+        self.variables = variables
+        grids = {col: signal_target_grid(col, max_length_hours) for col in self.signals}
+        self._n_grid = {col: len(g) for col, g in grids.items()}
+        self._step = {col: 30.0 / COLS_TO_SAMPLES_PER_EPOCH[col] for col in self.signals}
+        self.forward = make_streaming_forward_raw(model, grids, precision=precision)
+        self.extractor = RawNightExtractor(self.signals)
+        self._nbuf = max(2, prefetch)
+        self._bucket: dict[str, int] | None = None
+        self._bufs: list | None = None
+        self._anchor_cache: dict = {}
+
+    def _ensure_buffers(self, fp: str) -> None:
+        bucket = self.extractor.probe_bucket(fp)
+        if self._bucket is not None and all(bucket[c] <= self._bucket[c] for c in self.signals):
+            return
+        if self._bucket is not None:
+            bucket = {c: max(bucket[c], self._bucket[c]) for c in self.signals}
+            logger.info(f'Raw buckets regrown to {bucket}; shapes recompile once.')
+        self._bucket = bucket
+        self._bufs = [
+            (
+                {c: np.zeros((self.batch_size, bucket[c]), np.int16) for c in self.signals},
+                {c: np.zeros(self.batch_size, dtype=META_DTYPE) for c in self.signals},
+            )
+            for _ in range(self._nbuf)
+        ]
+
+    def warmup(self, fp: str):
+        import jax
+
+        self._ensure_buffers(fp)
+        raw, meta = self._bufs[0]
+        for c in self.signals:
+            meta[c]['n'] = 1
+            meta[c]['fs'] = 1.0
+        jax.block_until_ready(self._launch(raw, meta))
+
+    def _anchors(self, fs: float, col: str):
+        key = (round(float(fs), 9), col)
+        got = self._anchor_cache.get(key)
+        if got is None:
+            got = compute_resample_anchors(float(fs), self._step[col], self._n_grid[col])
+            self._anchor_cache[key] = got
+        return got
+
+    def _launch(self, raw, meta):
+        import jax.numpy as jnp
+
+        dev_raw = {c: jnp.asarray(raw[c]) for c in self.signals}
+        a = {c: jnp.asarray(meta[c]['a']) for c in self.signals}
+        b = {c: jnp.asarray(meta[c]['b']) for c in self.signals}
+        base_int, base_frac, ratio = {}, {}, {}
+        for c in self.signals:
+            rows = [self._anchors(f, c) for f in meta[c]['fs']]
+            base_int[c] = jnp.asarray(np.stack([r[0] for r in rows]))
+            base_frac[c] = jnp.asarray(np.stack([r[1] for r in rows]))
+            ratio[c] = jnp.asarray(np.asarray([r[2] for r in rows], np.float32))
+        n = {c: jnp.asarray(meta[c]['n']) for c in self.signals}
+        present = {c: jnp.asarray(meta[c]['present']) for c in self.signals}
+        return self.forward(self.variables, dev_raw, a, b, base_int, base_frac, ratio, n, present)
+
+    def run(self, fps: list[str]) -> Iterator[tuple[str, np.ndarray]]:
+        import queue as _queue
+
+        if fps:
+            self._ensure_buffers(fps[0])
+        q: _queue.Queue = _queue.Queue(maxsize=self._nbuf - 1)
+        stop = threading.Event()
+
+        def producer():
+            try:
+                slot = 0
+                for start in range(0, len(fps), self.batch_size):
+                    if stop.is_set():
+                        return
+                    chunk = fps[start : start + self.batch_size]
+                    for fp in chunk:
+                        self._ensure_buffers(fp)
+                    raw, meta = self._bufs[slot]
+                    slot = (slot + 1) % self._nbuf
+                    for i, fp in enumerate(chunk):
+                        self.extractor.extract_into(fp, raw, meta, i)
+                    for i in range(len(chunk), self.batch_size):
+                        for c in self.signals:
+                            raw[c][i] = raw[c][len(chunk) - 1]
+                            meta[c][i] = meta[c][len(chunk) - 1]
+                    q.put(('ok', chunk, self._launch(raw, meta)))
+                q.put(('done', None, None))
+            except Exception as e:  # noqa: BLE001
+                q.put(('err', e, None))
+
+        thread = threading.Thread(target=producer, daemon=True)
+        thread.start()
+        try:
+            while True:
+                kind, chunk, result = q.get()
+                if kind == 'done':
+                    return
+                if kind == 'err':
+                    raise chunk
+                preds = np.asarray(result)
+                for i, fp in enumerate(chunk):
+                    yield fp, preds[i]
+        finally:
+            stop.set()
+
+
 class StreamingPipeline:
     """Double-buffered EDF->hypnogram pipeline over a file list."""
 
