@@ -1,10 +1,12 @@
 """Benchmark: overnight recordings/hour/chip, EDF -> hypnogram.
 
 Measures the full inference pipeline on the flagship wav2sleep model
-(4 cardio-respiratory modalities, feature_dim 128): EDF decode -> per-signal
-resampling onto model grids -> per-recording z-score normalization -> batched
-jit forward on the TPU -> argmax hypnogram. Host preprocessing overlaps
-device compute via a prefetch thread.
+(4 cardio-respiratory modalities, feature_dim 128) using the raw-int16
+streaming path: the host extracts each night's int16 channels straight off
+the EDF memmap (nothing else — you cannot ship fewer bytes losslessly), and
+the device does the digital->physical affine, anchor-precise linear
+resampling, per-recording z-score and the batched bf16 forward in one jitted
+graph. Host extraction overlaps device compute via a prefetch thread.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Baseline: 5,000 recordings/hour on a v5e-8 => 625 recordings/hour/chip
@@ -64,6 +66,12 @@ def main():
     parser.add_argument('--hours', type=float, default=10.0)
     parser.add_argument('--precision', default='bfloat16', choices=['float32', 'bfloat16'])
     parser.add_argument('--feature-dim', type=int, default=128)
+    parser.add_argument(
+        '--pipeline',
+        default='raw',
+        choices=['raw', 'f32'],
+        help='raw: ship int16 + resample on device; f32: host decode/resample',
+    )
     parser.add_argument('--verbose', action='store_true')
     args = parser.parse_args()
 
@@ -74,7 +82,7 @@ def main():
     jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.5)
 
     from __graft_entry__ import _flagship_model
-    from wav2sleep_tpu.pipeline import StreamingPipeline
+    from wav2sleep_tpu.pipeline import StreamingPipeline, StreamingPipelineRaw
     from wav2sleep_tpu.settings import COLS_TO_SAMPLES_PER_EPOCH
 
     signals = ['ABD', 'THX', 'ECG', 'PPG']
@@ -95,28 +103,46 @@ def main():
         lambda sh: jnp.asarray(rng.normal(size=sh.shape, scale=0.05), dtype), var_shapes
     )
 
-    pipe = StreamingPipeline(
-        model,
-        variables,
-        signals,
-        batch_size=args.batch,
-        max_length_hours=args.hours,
-        precision=args.precision,
-    )
-    t0 = time.time()
-    pipe.warmup()  # compile + first-touch the pooled buffers (not timed)
-    compile_s = time.time() - t0
-    # Steady-state warm-up (untimed): page-warm every pooled buffer slot and
-    # the OS page cache for each distinct file, and run one real forward —
-    # this VM faults fresh mappings at ~12 MB/s, which is a cold-start cost,
-    # not pipeline throughput.
-    for buf in pipe._bufs:
-        for i, fp in enumerate(fps):
-            pipe.decoder.decode_into(fp, {c: buf[c][i % args.batch] for c in signals})
-    import jax.numpy as jnp
+    if args.pipeline == 'raw':
+        pipe = StreamingPipelineRaw(
+            model,
+            variables,
+            signals,
+            batch_size=args.batch,
+            max_length_hours=args.hours,
+            precision=args.precision,
+        )
+        t0 = time.time()
+        pipe.warmup(fps[0])  # compile (not timed)
+        compile_s = time.time() - t0
+        # Steady-state warm-up (untimed): page-warm every pooled buffer slot
+        # and the OS page cache for each distinct file, and run one real
+        # forward — this VM faults fresh mappings at ~12 MB/s, which is a
+        # cold-start cost, not pipeline throughput.
+        for raw, meta in pipe._bufs:
+            for i, fp in enumerate(fps):
+                pipe.extractor.extract_into(fp, raw, meta, i % args.batch)
+        for _ in pipe.run(work[: args.batch]):
+            pass
+    else:
+        pipe = StreamingPipeline(
+            model,
+            variables,
+            signals,
+            batch_size=args.batch,
+            max_length_hours=args.hours,
+            precision=args.precision,
+        )
+        t0 = time.time()
+        pipe.warmup()  # compile + first-touch the pooled buffers (not timed)
+        compile_s = time.time() - t0
+        for buf in pipe._bufs:
+            for i, fp in enumerate(fps):
+                pipe.decoder.decode_into(fp, {c: buf[c][i % args.batch] for c in signals})
+        import jax.numpy as jnp
 
-    dev = {c: jnp.asarray(pipe._bufs[0][c]) for c in signals}
-    np.asarray(pipe.forward(variables, dev))
+        dev = {c: jnp.asarray(pipe._bufs[0][c]) for c in signals}
+        np.asarray(pipe.forward(variables, dev))
 
     start = time.time()
     hypnograms = {}
