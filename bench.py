@@ -68,9 +68,13 @@ def main():
     parser.add_argument('--feature-dim', type=int, default=128)
     parser.add_argument(
         '--pipeline',
-        default='raw',
-        choices=['raw', 'f32'],
-        help='raw: ship int16 + resample on device; f32: host decode/resample',
+        default='q16',
+        choices=['q16', 'raw', 'f32'],
+        help=(
+            'q16: host fused resample to grid-aligned int16, device affine+model '
+            '(no gather); raw: ship raw int16 + resample on device; '
+            'f32: host decode/resample to float32'
+        ),
     )
     parser.add_argument('--verbose', action='store_true')
     args = parser.parse_args()
@@ -82,7 +86,11 @@ def main():
     jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.5)
 
     from __graft_entry__ import _flagship_model
-    from wav2sleep_tpu.pipeline import StreamingPipeline, StreamingPipelineRaw
+    from wav2sleep_tpu.pipeline import (
+        StreamingPipeline,
+        StreamingPipelineQ16,
+        StreamingPipelineRaw,
+    )
     from wav2sleep_tpu.settings import COLS_TO_SAMPLES_PER_EPOCH
 
     signals = ['ABD', 'THX', 'ECG', 'PPG']
@@ -103,7 +111,25 @@ def main():
         lambda sh: jnp.asarray(rng.normal(size=sh.shape, scale=0.05), dtype), var_shapes
     )
 
-    if args.pipeline == 'raw':
+    if args.pipeline == 'q16':
+        pipe = StreamingPipelineQ16(
+            model,
+            variables,
+            signals,
+            batch_size=args.batch,
+            max_length_hours=args.hours,
+            precision=args.precision,
+        )
+        t0 = time.time()
+        pipe.warmup()  # compile (not timed)
+        compile_s = time.time() - t0
+        # Page-warm pooled buffers + OS page cache (untimed, see below).
+        for raw, meta in pipe._bufs:
+            for i, fp in enumerate(fps):
+                pipe.extractor.extract_into(fp, raw, meta, i % args.batch)
+        for _ in pipe.run(work[: args.batch]):
+            pass
+    elif args.pipeline == 'raw':
         pipe = StreamingPipelineRaw(
             model,
             variables,

@@ -139,3 +139,75 @@ def test_raw_int16_pipeline_matches_f32(tmp_path):
     for fp in fps:
         agreement = (out_raw[fp] == out_f32[fp]).mean()
         assert agreement == 1.0, (fp, out_raw[fp], out_f32[fp])
+
+
+def test_q16_pipeline_matches_f32(tmp_path):
+    """Quantized-grid int16 transport (host fused resample in digital units,
+    device affine+zscore) must produce the same hypnograms as the f32 path,
+    including off-rate sources (real resampling) and a missing modality."""
+    import jax
+
+    from wav2sleep_tpu import models as jm
+    from wav2sleep_tpu.pipeline import (
+        NightDecoder,
+        Q16_META_DTYPE,
+        Q16NightExtractor,
+        StreamingPipeline,
+        StreamingPipelineQ16,
+    )
+
+    model = jm.Wav2Sleep(
+        signal_encoders=jm.SignalEncoders(
+            signal_map=jm.as_signal_map({'ECG': 'ECG', 'THX': 'THX'}),
+            feature_dim=16, activation='gelu', norm='instance', chunk_causal=False,
+            initial_channels=4, max_channels=8,
+        ),
+        epoch_mixer=jm.MultiModalAttentionEmbedder(feature_dim=16, layers=1, dim_ff=32, nhead=4, dropout=0.0),
+        sequence_mixer=jm.SequenceCNN(feature_dim=16, num_layers=1, kernel_size=3, num_dilations=2, norm='layer', dropout=0.0),
+        num_classes=4,
+    )
+    hours = 6 / 120
+    rng = np.random.default_rng(5)
+    fps = []
+    for i in range(3):
+        # 125/32 Hz: off model rates -> exercises true resampling.
+        sigs = {'ECG': rng.normal(size=int(125 * 30) * 6) * 0.5}
+        if i != 1:
+            sigs['THOR RES'] = rng.normal(size=int(32 * 30) * 6) * 0.4
+        fp = str(tmp_path / f'{i}.edf')
+        write_edf(
+            fp, sigs,
+            {k: (125.0 if k == 'ECG' else 32.0) for k in sigs},
+            physical_ranges={k: (-3, 3) for k in sigs},
+            record_duration=30.0,
+        )
+        fps.append(fp)
+
+    # Signal-level: dequantized q16 grid matches the host-decoded f32 grid to
+    # sub-LSB accuracy.
+    S = 6
+    dec = NightDecoder(['ECG', 'THX'], max_length_hours=hours)
+    ref = {c: np.empty(COLS_TO_SAMPLES_PER_EPOCH[c] * S, np.float32) for c in ('ECG', 'THX')}
+    dec.decode_into(fps[0], ref)
+    ext = Q16NightExtractor(['ECG', 'THX'], max_length_hours=hours)
+    q = {c: np.zeros((1, COLS_TO_SAMPLES_PER_EPOCH[c] * S), np.int16) for c in ('ECG', 'THX')}
+    meta = {c: np.zeros(1, dtype=Q16_META_DTYPE) for c in ('ECG', 'THX')}
+    ext.extract_into(fps[0], q, meta, 0)
+    for c in ('ECG', 'THX'):
+        a, b, nv, present = meta[c][0]
+        assert present
+        rec = q[c][0].astype(np.float32) * a + b
+        rec[nv:] = 0.0
+        np.testing.assert_allclose(rec, ref[c], atol=float(a) * 0.51 + 1e-7)
+
+    x0 = {'ECG': np.zeros((1, 1024 * 6), np.float32), 'THX': np.zeros((1, 256 * 6), np.float32)}
+    variables = model.init(jax.random.PRNGKey(0), x0)
+    q16_pipe = StreamingPipelineQ16(model, variables, ['ECG', 'THX'], batch_size=2,
+                                    max_length_hours=hours, precision='float32')
+    out_q16 = dict(q16_pipe.run(fps))
+    f32_pipe = StreamingPipeline(model, variables, ['ECG', 'THX'], batch_size=2,
+                                 max_length_hours=hours, precision='float32')
+    out_f32 = dict(f32_pipe.run(fps))
+    for fp in fps:
+        agreement = (out_q16[fp] == out_f32[fp]).mean()
+        assert agreement == 1.0, (fp, out_q16[fp], out_f32[fp])

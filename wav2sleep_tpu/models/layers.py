@@ -28,6 +28,57 @@ from .norms import BatchNorm, get_norm
 conv_kernel_init = nn.initializers.variance_scaling(1.0 / 3.0, 'fan_in', 'uniform')
 
 
+def _conv_mxu_friendly(x, kernel, stride, padding):
+    """Small-channel 1-D conv reformulated for the TPU.
+
+    XLA's native conv on [N, T, C] with C in the 16-32 range tiles the MXU at
+    <2 TFLOP/s (the contraction and output dims are far below the 128x128
+    systolic array). Measured on v5e, these equivalent formulations are
+    2.5-4.5x faster for the encoder-front shapes that dominate wav2sleep's
+    forward (k=3 convs over ~1.2M samples at 1-32 channels):
+
+    - ``k*C_in <= 4``: pure VPU broadcast multiply-add over the k taps
+      (no MXU involvement at all).
+    - stride 1: im2col — k shifted contiguous slices concatenated to
+      [N, T, k*C_in] and one dot against [k*C_in, C_out].
+    - stride 2 (k=3, pad 1): strided slices are slow on TPU, so split the
+      input into even/odd phases via reshape (contiguous) and express the
+      conv as [x_odd[-1], x_even, x_odd] concat -> one dot.
+
+    Returns None when the shape doesn't match a supported fast pattern
+    (caller falls back to ``lax.conv_general_dilated``).
+    """
+    k, Ci, Co = kernel.shape
+    B, L, _ = x.shape
+    if stride == 2 and k == 1 and padding == (0, 0) and L % 2 == 0:
+        # 1x1 stride-2 projection: take the even phase, then a plain matmul.
+        x = x.reshape(B, L // 2, 2, Ci)[:, :, 0, :]
+        return x @ kernel.reshape(Ci, Co)
+    if stride == 1:
+        xp = jnp.pad(x, ((0, 0), padding, (0, 0)))
+        Lout = xp.shape[1] - k + 1
+        if k * Ci <= 4:
+            out = None
+            for j in range(k):
+                for c in range(Ci):
+                    term = lax.slice(xp, (0, j, c), (B, j + Lout, c + 1)) * kernel[j, c][None, None, :]
+                    out = term if out is None else out + term
+            return out
+        if Ci <= 32:
+            wins = jnp.concatenate(
+                [lax.slice(xp, (0, j, 0), (B, j + Lout, Ci)) for j in range(k)], axis=-1
+            )
+            return wins @ kernel.reshape(k * Ci, Co)
+        return None
+    if stride == 2 and k == 3 and padding == (1, 1) and L % 2 == 0 and Ci <= 32:
+        xr = x.reshape(B, L // 2, 2, Ci)
+        xe, xo = xr[:, :, 0, :], xr[:, :, 1, :]
+        xo_m1 = jnp.pad(xo, ((0, 0), (1, 0), (0, 0)))[:, : L // 2, :]
+        wins = jnp.concatenate([xo_m1, xe, xo], axis=-1)
+        return wins @ kernel.reshape(3 * Ci, Co)
+    return None
+
+
 class Conv1D(nn.Module):
     """Bare 1-D convolution on [N, T, C] with explicit padding control.
 
@@ -57,15 +108,19 @@ class Conv1D(nn.Module):
             kernel = v / norm * g[None, None, :]
         else:
             kernel = self.param('kernel', conv_kernel_init, kshape)
-        y = lax.conv_general_dilated(
-            x_NTC,
-            kernel.astype(x_NTC.dtype),
-            window_strides=(self.stride,),
-            padding=(self.padding,),
-            rhs_dilation=(self.dilation,),
-            feature_group_count=self.groups,
-            dimension_numbers=('NHC', 'HIO', 'NHC'),
-        )
+        y = None
+        if self.dilation == 1 and self.groups == 1:
+            y = _conv_mxu_friendly(x_NTC, kernel.astype(x_NTC.dtype), self.stride, self.padding)
+        if y is None:
+            y = lax.conv_general_dilated(
+                x_NTC,
+                kernel.astype(x_NTC.dtype),
+                window_strides=(self.stride,),
+                padding=(self.padding,),
+                rhs_dilation=(self.dilation,),
+                feature_group_count=self.groups,
+                dimension_numbers=('NHC', 'HIO', 'NHC'),
+            )
         if self.use_bias:
             bias = self.param('bias', nn.initializers.zeros, (self.features,))
             y = y + bias.astype(y.dtype)

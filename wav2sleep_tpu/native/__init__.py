@@ -106,3 +106,9 @@ def _configure(lib: ctypes.CDLL) -> None:
         f64, c_i64, f32,
     ]
     lib.w2s_decode_resample.restype = None
+
+    lib.w2s_resample_q16.argtypes = [
+        i16, c_i64, c_i64, c_i64, c_i64,
+        c_double, c_double, c_i64, i16,
+    ]
+    lib.w2s_resample_q16.restype = c_i64

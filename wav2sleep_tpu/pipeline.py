@@ -407,6 +407,189 @@ class StreamingPipelineRaw:
             stop.set()
 
 
+Q16_META_DTYPE = np.dtype([('a', 'f4'), ('b', 'f4'), ('n_valid', 'i4'), ('present', '?')])
+
+
+class Q16NightExtractor:
+    """Host side of the quantized-grid transport: fused resample onto the
+    model grid in the *digital* (int16) domain.
+
+    The C++ kernel (native/src/edf_decode.cpp:w2s_resample_q16) lerps int16
+    samples and rounds back to int16 — at most 0.5 LSB of error, the EDF's
+    own quantization noise — so the device receives grid-aligned int16
+    (minimal bytes, like the raw path) but needs NO gather: just the
+    digital->physical affine, a validity mask and the z-score, all fused
+    into the jitted forward.
+    """
+
+    def __init__(self, signals: list[str], max_length_hours: float = 10.0, use_native: bool = True):
+        from . import native
+
+        self.signals = list(signals)
+        self.max_length_hours = max_length_hours
+        self._lib = native.get_lib() if use_native else None
+        self._step = {col: 30.0 / COLS_TO_SAMPLES_PER_EPOCH[col] for col in self.signals}
+
+    def extract_into(self, fp: str, out_i16: dict[str, np.ndarray], meta: dict[str, np.ndarray], row: int) -> None:
+        with EdfFile(fp) as f:
+            labels = f.labels()
+            units_map = {c.label: c.unit for c in f.header.channels}
+            for col in self.signals:
+                m = meta[col]
+                dst = out_i16[col][row]
+                actual = get_column_match(col, labels, units_map=units_map, raise_error=False)
+                if actual is None:
+                    dst.fill(0)
+                    m[row] = (0.0, 0.0, 0, False)
+                    continue
+                ch = f.channel(actual)
+                fs = f.sampling_freq(actual)
+                _, scale, offset = channel_norm_affine(col, ch.unit, ch.physical_min, ch.physical_max)
+                a = ch.bitvalue * scale
+                b = (ch.physical_min - ch.digital_min * ch.bitvalue) * scale + offset
+                if self._lib is not None and dst.flags.c_contiguous:
+                    n_valid = self._lib.w2s_resample_q16(
+                        f._records,
+                        f.header.n_records,
+                        f._records.shape[1],
+                        int(f._offsets[ch.index]),
+                        ch.samples_per_record,
+                        float(fs),
+                        float(self._step[col]),
+                        len(dst),
+                        dst,
+                    )
+                else:
+                    lo = f._offsets[ch.index]
+                    dig = np.ascontiguousarray(
+                        f._records[:, lo : lo + ch.samples_per_record]
+                    ).reshape(-1).astype(np.float32)
+                    res = resample_uniform(dig, fs, col, self.max_length_hours)
+                    np.rint(res, out=res)
+                    dst[:] = res.astype(np.int16)
+                    ratio = self._step[col] * fs
+                    pos = (np.arange(len(dst), dtype=np.float64) + 1.0) * ratio
+                    n_valid = int(np.searchsorted(pos, len(dig) - 1, side='right'))
+                m[row] = (a, b, n_valid, True)
+
+
+def make_streaming_forward_q16(model, precision: str = 'bfloat16') -> Callable:
+    """Jitted forward over grid-aligned int16: affine decode, validity mask,
+    z-score, model, argmax — all elementwise until the model, no gather."""
+    import jax
+    import jax.numpy as jnp
+
+    dtype = jnp.bfloat16 if precision == 'bfloat16' else jnp.float32
+
+    @jax.jit
+    def forward(variables, q, a, b, n_valid, present):
+        x = {}
+        for col, r in q.items():
+            v = r.astype(jnp.float32) * a[col][:, None] + b[col][:, None]
+            iot = jnp.arange(r.shape[1], dtype=jnp.int32)
+            v = jnp.where(iot[None, :] < n_valid[col][:, None], v, 0.0)
+            mu = jnp.mean(v, axis=1, keepdims=True)
+            std = jnp.sqrt(jnp.sum(jnp.square(v - mu), axis=1, keepdims=True) / (v.shape[1] - 1))
+            z = ((v - mu) / jnp.maximum(std, 1e-6)).astype(dtype)
+            x[col] = jnp.where(present[col][:, None], z, jnp.asarray(-jnp.inf, dtype))
+        return jnp.argmax(model.apply(variables, x), axis=-1).astype(jnp.int32)
+
+    return forward
+
+
+class StreamingPipelineQ16:
+    """Quantized-grid transport pipeline: host resamples each channel onto
+    the model grid *in int16 digital units* (fused C++ kernel), the device
+    does affine + z-score + model. Ships the same minimal bytes as the raw
+    path — fewer when the source rate exceeds the model rate — without the
+    raw path's on-device gather. Static buffer shapes: no bucket probing or
+    regrowth recompiles."""
+
+    def __init__(
+        self,
+        model,
+        variables,
+        signals: list[str],
+        batch_size: int = 8,
+        max_length_hours: float = 10.0,
+        precision: str = 'bfloat16',
+        prefetch: int = 2,
+    ):
+        self.signals = list(signals)
+        self.batch_size = batch_size
+        self.max_length_hours = max_length_hours
+        self.variables = variables
+        S = int(max_length_hours * 120)
+        self._n_grid = {col: COLS_TO_SAMPLES_PER_EPOCH[col] * S for col in self.signals}
+        self.forward = make_streaming_forward_q16(model, precision=precision)
+        self.extractor = Q16NightExtractor(self.signals, max_length_hours)
+        self._nbuf = max(2, prefetch)
+        self._bufs = [
+            (
+                {c: np.zeros((batch_size, self._n_grid[c]), np.int16) for c in self.signals},
+                {c: np.zeros(batch_size, dtype=Q16_META_DTYPE) for c in self.signals},
+            )
+            for _ in range(self._nbuf)
+        ]
+
+    def warmup(self):
+        import jax
+
+        q, meta = self._bufs[0]
+        for c in self.signals:
+            meta[c]['n_valid'] = 1
+        jax.block_until_ready(self._launch(q, meta))
+
+    def _launch(self, q, meta):
+        import jax.numpy as jnp
+
+        dev = {c: jnp.asarray(q[c]) for c in self.signals}
+        a = {c: jnp.asarray(meta[c]['a']) for c in self.signals}
+        b = {c: jnp.asarray(meta[c]['b']) for c in self.signals}
+        n_valid = {c: jnp.asarray(meta[c]['n_valid']) for c in self.signals}
+        present = {c: jnp.asarray(meta[c]['present']) for c in self.signals}
+        return self.forward(self.variables, dev, a, b, n_valid, present)
+
+    def run(self, fps: list[str]) -> Iterator[tuple[str, np.ndarray]]:
+        q: queue.Queue = queue.Queue(maxsize=self._nbuf - 1)
+        stop = threading.Event()
+
+        def producer():
+            try:
+                slot = 0
+                for start in range(0, len(fps), self.batch_size):
+                    if stop.is_set():
+                        return
+                    chunk = fps[start : start + self.batch_size]
+                    raw, meta = self._bufs[slot]
+                    slot = (slot + 1) % self._nbuf
+                    for i, fp in enumerate(chunk):
+                        self.extractor.extract_into(fp, raw, meta, i)
+                    for i in range(len(chunk), self.batch_size):
+                        for c in self.signals:
+                            raw[c][i] = raw[c][len(chunk) - 1]
+                            meta[c][i] = meta[c][len(chunk) - 1]
+                    q.put(('ok', chunk, self._launch(raw, meta)))
+                q.put(('done', None, None))
+            except Exception as e:  # noqa: BLE001
+                q.put(('err', e, None))
+
+        thread = threading.Thread(target=producer, daemon=True)
+        thread.start()
+        try:
+            while True:
+                kind, chunk, result = q.get()
+                if kind == 'done':
+                    return
+                if kind == 'err':
+                    raise chunk
+                preds = np.asarray(result)
+                for i, fp in enumerate(chunk):
+                    yield fp, preds[i]
+        finally:
+            stop.set()
+
+
 class StreamingPipeline:
     """Double-buffered EDF->hypnogram pipeline over a file list."""
 
