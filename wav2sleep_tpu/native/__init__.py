@@ -112,3 +112,10 @@ def _configure(lib: ctypes.CDLL) -> None:
         c_double, c_double, c_i64, i16,
     ]
     lib.w2s_resample_q16.restype = c_i64
+
+    i8 = npc.ndpointer(dtype=np.int8, flags='C_CONTIGUOUS')
+    lib.w2s_resample_q8.argtypes = [
+        i16, c_i64, c_i64, c_i64, c_i64,
+        c_double, c_double, c_i64, i8, ctypes.POINTER(ctypes.c_double),
+    ]
+    lib.w2s_resample_q8.restype = c_i64

@@ -89,6 +89,17 @@ int64_t w2s_resample_q16(
     return static_cast<double>(records[rec * record_stride + ch_offset + within]);
   };
   const double ratio = step * fs;
+  if (ratio == 1.0) {
+    // Source already on the model grid: pos_j = j+1 exactly -> strided copy.
+    const int64_t n_valid = (n - 1 < m) ? (n - 1) : m;
+    for (int64_t j = 0; j < n_valid; ++j) {
+      const int64_t i = j + 1;
+      const int64_t rec = i / ch_spr;
+      out[j] = records[rec * record_stride + ch_offset + (i - rec * ch_spr)];
+    }
+    for (int64_t k = n_valid; k < m; ++k) out[k] = 0;
+    return n_valid;
+  }
   int64_t n_valid = m;
   for (int64_t j = 0; j < m; ++j) {
     const double pos = (static_cast<double>(j) + 1.0) * ratio;
@@ -102,6 +113,90 @@ int64_t w2s_resample_q16(
     const double v0 = sample(i0);
     const double v1 = (i0 + 1 < n) ? sample(i0 + 1) : v0;
     out[j] = static_cast<int16_t>(std::lrint(v0 + frac * (v1 - v0)));
+  }
+  return n_valid;
+}
+
+// mu-law int8 transport: like w2s_resample_q16 but companded to int8 with
+// mu=255 against the per-channel digital peak V (returned via *out_vmax).
+// Standard biosignal/audio companding: ~4.4% relative error at full scale,
+// near-LSB absolute error for small amplitudes — matched to the bf16
+// compute precision downstream while shipping half the bytes of int16.
+// Quantization uses a 65536-entry LUT over the int16 digital range, so the
+// per-sample cost is one lerp + one table lookup.
+int64_t w2s_resample_q8(
+    const int16_t* records,
+    int64_t n_records,
+    int64_t record_stride,
+    int64_t ch_offset,
+    int64_t ch_spr,
+    double fs,
+    double step,
+    int64_t m,
+    int8_t* out,
+    double* out_vmax)
+{
+  const int64_t n = n_records * ch_spr;
+  if (n <= 0) {
+    for (int64_t j = 0; j < m; ++j) out[j] = 0;
+    *out_vmax = 1.0;
+    return 0;
+  }
+  auto sample = [&](int64_t i) -> double {
+    const int64_t rec = i / ch_spr;
+    return static_cast<double>(records[rec * record_stride + ch_offset + (i - rec * ch_spr)]);
+  };
+  // Pass 1: per-channel digital peak over the raw samples.
+  int32_t vmax_i = 1;
+  for (int64_t r = 0; r < n_records; ++r) {
+    const int16_t* row = records + r * record_stride + ch_offset;
+    for (int64_t k = 0; k < ch_spr; ++k) {
+      int32_t a = row[k];
+      if (a < 0) a = -a;
+      if (a > vmax_i) vmax_i = a;
+    }
+  }
+  const double V = static_cast<double>(vmax_i);
+  *out_vmax = V;
+  // Quantization LUT over the int16 range (mu-law, mu=255).
+  static thread_local int8_t lut[65536];
+  static thread_local double lut_V = -1.0;
+  const double mu = 255.0;
+  const double inv_log1p_mu = 1.0 / std::log1p(mu);
+  if (lut_V != V) {
+    for (int32_t d = -32768; d < 32768; ++d) {
+      const double x = static_cast<double>(d < 0 ? -d : d) / V;
+      const double q = 127.0 * std::log1p(mu * (x > 1.0 ? 1.0 : x)) * inv_log1p_mu;
+      const int32_t qi = static_cast<int32_t>(std::lrint(q));
+      lut[static_cast<uint16_t>(d)] = static_cast<int8_t>(d < 0 ? -qi : qi);
+    }
+    lut_V = V;
+  }
+  const double ratio = step * fs;
+  if (ratio == 1.0) {
+    const int64_t n_valid = (n - 1 < m) ? (n - 1) : m;
+    for (int64_t j = 0; j < n_valid; ++j) {
+      const int64_t i = j + 1;
+      const int64_t rec = i / ch_spr;
+      out[j] = lut[static_cast<uint16_t>(records[rec * record_stride + ch_offset + (i - rec * ch_spr)])];
+    }
+    for (int64_t k = n_valid; k < m; ++k) out[k] = 0;
+    return n_valid;
+  }
+  int64_t n_valid = m;
+  for (int64_t j = 0; j < m; ++j) {
+    const double pos = (static_cast<double>(j) + 1.0) * ratio;
+    if (pos > static_cast<double>(n - 1)) {
+      n_valid = j;
+      for (int64_t k = j; k < m; ++k) out[k] = 0;
+      break;
+    }
+    const int64_t i0 = static_cast<int64_t>(pos);
+    const double frac = pos - static_cast<double>(i0);
+    const double v0 = sample(i0);
+    const double v1 = (i0 + 1 < n) ? sample(i0 + 1) : v0;
+    const int32_t d = static_cast<int32_t>(std::lrint(v0 + frac * (v1 - v0)));
+    out[j] = lut[static_cast<uint16_t>(static_cast<int16_t>(d))];
   }
   return n_valid;
 }

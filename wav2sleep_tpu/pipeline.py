@@ -590,6 +590,165 @@ class StreamingPipelineQ16:
             stop.set()
 
 
+Q8_META_DTYPE = np.dtype(
+    [('a', 'f4'), ('b', 'f4'), ('vmax', 'f4'), ('n_valid', 'i4'), ('present', '?')]
+)
+
+MU_LAW = 255.0
+
+
+class Q8NightExtractor:
+    """mu-law int8 variant of the quantized-grid transport (w2s_resample_q8).
+
+    Companding against the per-channel digital peak V keeps near-LSB absolute
+    error for small amplitudes and ~4.4% relative error at full scale —
+    matched to the bf16 mantissa downstream — while shipping half the bytes
+    of int16. On hosts where the device link's per-byte CPU cost dominates
+    (serialization/compression), bytes are throughput."""
+
+    def __init__(self, signals: list[str], max_length_hours: float = 10.0, use_native: bool = True):
+        import ctypes
+
+        from . import native
+
+        self.signals = list(signals)
+        self.max_length_hours = max_length_hours
+        self._lib = native.get_lib() if use_native else None
+        self._step = {col: 30.0 / COLS_TO_SAMPLES_PER_EPOCH[col] for col in self.signals}
+        self._vmax_out = ctypes.c_double(0.0) if self._lib is not None else None
+
+    def extract_into(self, fp: str, out_i8: dict[str, np.ndarray], meta: dict[str, np.ndarray], row: int) -> None:
+        import ctypes
+
+        with EdfFile(fp) as f:
+            labels = f.labels()
+            units_map = {c.label: c.unit for c in f.header.channels}
+            for col in self.signals:
+                m = meta[col]
+                dst = out_i8[col][row]
+                actual = get_column_match(col, labels, units_map=units_map, raise_error=False)
+                if actual is None:
+                    dst.fill(0)
+                    m[row] = (0.0, 0.0, 1.0, 0, False)
+                    continue
+                ch = f.channel(actual)
+                fs = f.sampling_freq(actual)
+                _, scale, offset = channel_norm_affine(col, ch.unit, ch.physical_min, ch.physical_max)
+                a = ch.bitvalue * scale
+                b = (ch.physical_min - ch.digital_min * ch.bitvalue) * scale + offset
+                if self._lib is not None and dst.flags.c_contiguous:
+                    n_valid = self._lib.w2s_resample_q8(
+                        f._records,
+                        f.header.n_records,
+                        f._records.shape[1],
+                        int(f._offsets[ch.index]),
+                        ch.samples_per_record,
+                        float(fs),
+                        float(self._step[col]),
+                        len(dst),
+                        dst,
+                        ctypes.byref(self._vmax_out),
+                    )
+                    vmax = self._vmax_out.value
+                else:
+                    lo = f._offsets[ch.index]
+                    dig = np.ascontiguousarray(
+                        f._records[:, lo : lo + ch.samples_per_record]
+                    ).reshape(-1).astype(np.float32)
+                    vmax = max(1.0, float(np.abs(dig).max()))
+                    res = resample_uniform(dig, fs, col, self.max_length_hours)
+                    np.rint(res, out=res)
+                    x = np.clip(np.abs(res) / vmax, 0.0, 1.0)
+                    q = np.rint(127.0 * np.log1p(MU_LAW * x) / np.log1p(MU_LAW))
+                    dst[:] = (np.sign(res) * q).astype(np.int8)
+                    ratio = self._step[col] * fs
+                    pos = (np.arange(len(dst), dtype=np.float64) + 1.0) * ratio
+                    n_valid = int(np.searchsorted(pos, len(dig) - 1, side='right'))
+                    dst[n_valid:] = 0
+                m[row] = (a, b, vmax, n_valid, True)
+
+
+def make_streaming_forward_q8(model, precision: str = 'bfloat16') -> Callable:
+    """Jitted forward over mu-law int8: expand, affine, mask, z-score, model."""
+    import jax
+    import jax.numpy as jnp
+
+    dtype = jnp.bfloat16 if precision == 'bfloat16' else jnp.float32
+    log1p_mu = float(np.log1p(MU_LAW))
+
+    @jax.jit
+    def forward(variables, q, a, b, vmax, n_valid, present):
+        x = {}
+        for col, r in q.items():
+            qf = r.astype(jnp.float32)
+            dig = jnp.sign(qf) * jnp.expm1(jnp.abs(qf) * (log1p_mu / 127.0)) * (
+                vmax[col][:, None] / MU_LAW
+            )
+            v = dig * a[col][:, None] + b[col][:, None]
+            iot = jnp.arange(r.shape[1], dtype=jnp.int32)
+            v = jnp.where(iot[None, :] < n_valid[col][:, None], v, 0.0)
+            mu = jnp.mean(v, axis=1, keepdims=True)
+            std = jnp.sqrt(jnp.sum(jnp.square(v - mu), axis=1, keepdims=True) / (v.shape[1] - 1))
+            z = ((v - mu) / jnp.maximum(std, 1e-6)).astype(dtype)
+            x[col] = jnp.where(present[col][:, None], z, jnp.asarray(-jnp.inf, dtype))
+        return jnp.argmax(model.apply(variables, x), axis=-1).astype(jnp.int32)
+
+    return forward
+
+
+class StreamingPipelineQ8(StreamingPipelineQ16):
+    """mu-law int8 quantized-grid transport (see Q8NightExtractor)."""
+
+    def __init__(
+        self,
+        model,
+        variables,
+        signals: list[str],
+        batch_size: int = 8,
+        max_length_hours: float = 10.0,
+        precision: str = 'bfloat16',
+        prefetch: int = 2,
+    ):
+        super().__init__(
+            model,
+            variables,
+            signals,
+            batch_size=batch_size,
+            max_length_hours=max_length_hours,
+            precision=precision,
+            prefetch=prefetch,
+        )
+        self.forward = make_streaming_forward_q8(model, precision=precision)
+        self.extractor = Q8NightExtractor(self.signals, max_length_hours)
+        self._bufs = [
+            (
+                {c: np.zeros((batch_size, self._n_grid[c]), np.int8) for c in self.signals},
+                {c: np.zeros(batch_size, dtype=Q8_META_DTYPE) for c in self.signals},
+            )
+            for _ in range(self._nbuf)
+        ]
+
+    def warmup(self):
+        import jax
+
+        q, meta = self._bufs[0]
+        for c in self.signals:
+            meta[c]['n_valid'] = 1
+            meta[c]['vmax'] = 1.0
+        jax.block_until_ready(self._launch(q, meta))
+
+    def _launch(self, q, meta):
+        import jax.numpy as jnp
+
+        dev = {c: jnp.asarray(q[c]) for c in self.signals}
+        a = {c: jnp.asarray(meta[c]['a']) for c in self.signals}
+        b = {c: jnp.asarray(meta[c]['b']) for c in self.signals}
+        vmax = {c: jnp.asarray(meta[c]['vmax']) for c in self.signals}
+        n_valid = {c: jnp.asarray(meta[c]['n_valid']) for c in self.signals}
+        present = {c: jnp.asarray(meta[c]['present']) for c in self.signals}
+        return self.forward(self.variables, dev, a, b, vmax, n_valid, present)
+
+
 class StreamingPipeline:
     """Double-buffered EDF->hypnogram pipeline over a file list."""
 
