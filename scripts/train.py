@@ -162,5 +162,49 @@ def _with_profile(trainer, log_dir: str) -> None:
     trainer.train_epoch = traced
 
 
+def expand_multirun(argv: list[str]) -> list[list[str]] | None:
+    """Hydra-style ``-m``/``--multirun`` sweep expansion.
+
+    ``train.py -m datasets=mesa,shhs lr=1e-3,3e-4`` runs the Cartesian
+    product of every comma-separated override (4 runs here), like the
+    reference's hydra-submitit sweeps (SURVEY.md §5.6) but sequential on the
+    local TPU. Returns None when not in multirun mode. Each variant gets a
+    ``name`` suffix recording its swept values so logs/checkpoints don't
+    collide.
+    """
+    if '-m' not in argv and '--multirun' not in argv:
+        return None
+    base = [a for a in argv if a not in ('-m', '--multirun')]
+    variants: list[tuple[list[str], list[str]]] = [([], [])]  # (overrides, name parts)
+    for arg in base:
+        if '=' in arg and ',' in arg.split('=', 1)[1] and not arg.startswith('name='):
+            key, values = arg.split('=', 1)
+            variants = [
+                (ov + [f'{key}={v}'], parts + [f'{key.rsplit(".", 1)[-1]}-{v.replace("/", ".")}'])
+                for ov, parts in variants
+                for v in values.split(',')
+            ]
+        else:
+            variants = [(ov + [arg], parts) for ov, parts in variants]
+    out = []
+    for ov, parts in variants:
+        name = next((a.split('=', 1)[1] for a in ov if a.startswith('name=')), 'sweep')
+        suffix = '_'.join(parts)
+        out.append(ov + ([f'name={name}_{suffix}'] if suffix else []))
+    return out
+
+
+def run(argv: list[str] | None = None):
+    argv = sys.argv[1:] if argv is None else argv
+    sweeps = expand_multirun(argv)
+    if sweeps is None:
+        return main(argv)
+    results = {}
+    for i, sub in enumerate(sweeps):
+        logger.info(f'--- multirun {i + 1}/{len(sweeps)}: {sub}')
+        results[i] = main(sub)
+    return results
+
+
 if __name__ == '__main__':
-    main()
+    run()

@@ -132,3 +132,31 @@ class TestMetrics:
         crit = torch.nn.CrossEntropyLoss(reduction='mean', ignore_index=-1, label_smoothing=0.1)
         want = float(crit(torch.from_numpy(logits), torch.from_numpy(labels).long()))
         assert ours == pytest.approx(want, rel=1e-4)
+
+
+class TestMultirun:
+    def test_expansion_product(self):
+        import importlib.util, os
+        spec = importlib.util.spec_from_file_location(
+            'train_script', os.path.join(os.path.dirname(__file__), '..', '..', 'scripts', 'train.py'))
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        argv = ['-m', 'name=x', 'datasets=mesa,shhs', 'training.optimizer.lr=1e-3,3e-4', 'epochs=2']
+        out = mod.expand_multirun(argv)
+        assert len(out) == 4
+        # every variant keeps the non-swept override and gets a unique name
+        names = set()
+        for sub in out:
+            assert 'epochs=2' in sub
+            assert sum(a.startswith('datasets=') for a in sub) == 1
+            names.add([a for a in sub if a.startswith('name=')][-1])
+        assert len(names) == 4
+        assert any('name=x_datasets-mesa_lr-1e-3' in n for n in names)
+
+    def test_not_multirun(self):
+        import importlib.util, os
+        spec = importlib.util.spec_from_file_location(
+            'train_script2', os.path.join(os.path.dirname(__file__), '..', '..', 'scripts', 'train.py'))
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        assert mod.expand_multirun(['name=x', 'datasets=mesa']) is None

@@ -232,3 +232,42 @@ def test_trainer_predict(corpus, tmp_path):
     assert set(out) >= {'labels', 'preds', 'preds_ECG', 'preds_ECG_THX'}
     assert out['preds'].shape == out['labels'].shape
     assert out['preds_ECG'].shape == out['preds'].shape
+
+
+def test_train_cli_multirun(corpus, tmp_path, monkeypatch):
+    """scripts/train.py end-to-end through run(): a -m sweep of two LRs on
+    the synthetic corpus, each run exporting a deployable checkpoint."""
+    import importlib.util
+
+    repo = os.path.join(os.path.dirname(__file__), '..', '..')
+    spec = importlib.util.spec_from_file_location('train_cli', os.path.join(repo, 'scripts', 'train.py'))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    monkeypatch.setenv('WAV2SLEEP_DATA', str(corpus))
+    monkeypatch.setenv('WAV2SLEEP_STORAGE', str(tmp_path))
+    results = mod.run([
+        '-m',
+        'name=cli_sweep',
+        'datasets=mesa',
+        'inputs=cardiorespiratory/ecg',
+        'feature_dim=16',
+        'max_length_hours=0.05',
+        'pad_to_epochs=6',
+        'batch_size=2',
+        'target_batch_size=2',
+        'training.val_batch_size=2',
+        'epochs=1',
+        'num_cpus=0',
+        'num_devices=1',
+        'restore_best=false',
+        'training.optimizer.lr=1e-3,5e-4',
+    ])
+    assert len(results) == 2
+    run_dirs = [
+        os.path.join(root, 'model')
+        for root, dirs, _ in os.walk(os.path.join(str(tmp_path), 'logs'))
+        if 'model' in dirs
+    ]
+    assert len(run_dirs) == 2
+    for d in run_dirs:
+        assert os.path.exists(os.path.join(d, 'config.yaml'))

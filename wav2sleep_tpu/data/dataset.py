@@ -114,7 +114,10 @@ class ParquetDataset:
         self.map = INTEGER_LABEL_MAPS[num_classes]
         self.num_classes = num_classes
         self.require_labels = require_labels
-        self.max_length_epochs = 1_000_000 if max_length_hours is None else max_length_hours * 60 * 2
+        # Fractional hours are allowed (tests/streaming use short recordings).
+        self.max_length_epochs = (
+            1_000_000 if max_length_hours is None else int(round(max_length_hours * 60 * 2))
+        )
         self.causal = causal
 
     def __len__(self) -> int:
