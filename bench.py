@@ -183,7 +183,7 @@ def main():
     # report steady-state throughput by 20%+.
     elapsed = []
     hypnograms = {}
-    for _ in range(args.passes):
+    for _ in range(max(1, args.passes)):
         start = time.time()
         for fp, hyp in pipe.run(work):
             hypnograms[fp] = hyp

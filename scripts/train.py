@@ -67,7 +67,7 @@ def main(argv: list[str] | None = None) -> dict:
             model,
             columns=list(cfg['inputs']['signal_map'].keys()),
             num_classes=cfg['num_classes'],
-            epochs_per_night=cfg.get('pad_to_epochs') or cfg['max_length_hours'] * 120,
+            epochs_per_night=cfg.get('pad_to_epochs') or int(round(cfg['max_length_hours'] * 120)),
             family=family,
         )
         if tuned:
@@ -177,7 +177,9 @@ def expand_multirun(argv: list[str]) -> list[list[str]] | None:
     base = [a for a in argv if a not in ('-m', '--multirun')]
     variants: list[tuple[list[str], list[str]]] = [([], [])]  # (overrides, name parts)
     for arg in base:
-        if '=' in arg and ',' in arg.split('=', 1)[1] and not arg.startswith('name='):
+        value = arg.split('=', 1)[1] if '=' in arg else ''
+        # Bracketed values are YAML lists for a single run, not sweep axes.
+        if ',' in value and '[' not in value and not arg.startswith('name='):
             key, values = arg.split('=', 1)
             variants = [
                 (ov + [f'{key}={v}'], parts + [f'{key.rsplit(".", 1)[-1]}-{v.replace("/", ".")}'])

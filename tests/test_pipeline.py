@@ -293,3 +293,41 @@ def test_q8_pipeline_transport(tmp_path):
                                       max_length_hours=hours, precision='float32').run(fps))
     agreement = np.concatenate([out_f32[fp] == out_q8[fp] for fp in fps]).mean()
     assert agreement >= 0.8, agreement
+
+
+def test_stream_early_abandon(tmp_path):
+    """Dropping the run() generator after one result must release the
+    producer thread (stop-aware queue put) so a fresh run() works cleanly."""
+    import gc
+
+    import jax
+
+    from wav2sleep_tpu import models as jm
+    from wav2sleep_tpu.pipeline import StreamingPipelineQ16
+
+    model = jm.Wav2Sleep(
+        signal_encoders=jm.SignalEncoders(
+            signal_map=jm.as_signal_map({'ECG': 'ECG'}), feature_dim=16, activation='gelu',
+            norm='instance', chunk_causal=False, initial_channels=4, max_channels=8,
+        ),
+        epoch_mixer=jm.MultiModalAttentionEmbedder(feature_dim=16, layers=1, dim_ff=32, nhead=4, dropout=0.0),
+        sequence_mixer=jm.SequenceCNN(feature_dim=16, num_layers=1, kernel_size=3, num_dilations=2, norm='layer', dropout=0.0),
+        num_classes=4,
+    )
+    hours = 6 / 120
+    rng = np.random.default_rng(9)
+    fps = []
+    for i in range(6):
+        fp = str(tmp_path / f'{i}.edf')
+        write_edf(fp, {'ECG': rng.normal(size=int(1024 / 30 * 30) * 6) * 0.5},
+                  {'ECG': 1024 / 30}, physical_ranges={'ECG': (-3, 3)}, record_duration=30.0)
+        fps.append(fp)
+    variables = model.init(jax.random.PRNGKey(0), {'ECG': np.zeros((1, 1024 * 6), np.float32)})
+    pipe = StreamingPipelineQ16(model, variables, ['ECG'], batch_size=1,
+                                max_length_hours=hours, precision='float32')
+    it = pipe.run(fps)
+    next(it)
+    it.close()  # abandon mid-stream
+    gc.collect()
+    full = dict(pipe.run(fps))  # would deadlock/corrupt before the fix
+    assert set(full) == set(fps)

@@ -160,3 +160,15 @@ class TestMultirun:
         mod = importlib.util.module_from_spec(spec)
         spec.loader.exec_module(mod)
         assert mod.expand_multirun(['name=x', 'datasets=mesa']) is None
+
+
+def test_multirun_keeps_bracketed_lists():
+    import importlib.util, os
+    spec = importlib.util.spec_from_file_location(
+        'train_script3', os.path.join(os.path.dirname(__file__), '..', '..', 'scripts', 'train.py'))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    out = mod.expand_multirun(['-m', 'name=x', 'datasets.train=[mesa,shhs]', 'epochs=1,2'])
+    assert len(out) == 2
+    for sub in out:
+        assert 'datasets.train=[mesa,shhs]' in sub

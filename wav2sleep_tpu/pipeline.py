@@ -157,6 +157,80 @@ def make_streaming_forward(model, precision: str = 'bfloat16', normalize: str | 
     return forward
 
 
+def _stream(
+    fps: list[str],
+    batch_size: int,
+    get_bufs: Callable[[], list],
+    fill_row: Callable,
+    launch: Callable,
+    ensure: Callable[[str], None] | None = None,
+) -> Iterator[tuple[str, np.ndarray]]:
+    """Shared producer/consumer loop for all streaming pipelines.
+
+    The producer thread fills pooled buffer slots (``fill_row(slot_bufs, fp,
+    i)``), pads short batches by duplicating the last night, dispatches
+    ``launch(slot_bufs)`` (H2D + jitted forward) and enqueues the async
+    result; the consumer fetches predictions. ``q.put`` is stop-aware so an
+    abandoned generator (consumer stops iterating early) releases the
+    producer instead of deadlocking it on the bounded queue.
+    """
+    out_q: queue.Queue = queue.Queue(maxsize=max(len(get_bufs()) - 1, 1))
+    stop = threading.Event()
+
+    def put(item) -> bool:
+        while not stop.is_set():
+            try:
+                out_q.put(item, timeout=0.2)
+                return True
+            except queue.Full:
+                continue
+        return False
+
+    def dup_row(slot_bufs, src: int, dst: int) -> None:
+        parts = slot_bufs if isinstance(slot_bufs, tuple) else (slot_bufs,)
+        for part in parts:
+            for c in part:
+                part[c][dst] = part[c][src]
+
+    def producer():
+        try:
+            slot = 0
+            for start in range(0, len(fps), batch_size):
+                if stop.is_set():
+                    return
+                chunk = fps[start : start + batch_size]
+                if ensure is not None:
+                    for fp in chunk:
+                        ensure(fp)
+                bufs = get_bufs()
+                slot_bufs = bufs[slot % len(bufs)]
+                slot += 1
+                for i, fp in enumerate(chunk):
+                    fill_row(slot_bufs, fp, i)
+                for i in range(len(chunk), batch_size):
+                    dup_row(slot_bufs, len(chunk) - 1, i)
+                if not put(('ok', chunk, launch(slot_bufs))):
+                    return
+            put(('done', None, None))
+        except Exception as e:  # noqa: BLE001
+            put(('err', e, None))
+
+    thread = threading.Thread(target=producer, daemon=True)
+    thread.start()
+    try:
+        while True:
+            kind, chunk, result = out_q.get()
+            if kind == 'done':
+                return
+            if kind == 'err':
+                raise chunk
+            preds = np.asarray(result)
+            for i, fp in enumerate(chunk):
+                yield fp, preds[i]
+    finally:
+        stop.set()
+
+
 class RawNightExtractor:
     """Host side of the int16 fast path: strided channel extraction only.
 
@@ -362,49 +436,16 @@ class StreamingPipelineRaw:
         return self.forward(self.variables, dev_raw, a, b, base_int, base_frac, ratio, n, present)
 
     def run(self, fps: list[str]) -> Iterator[tuple[str, np.ndarray]]:
-        import queue as _queue
-
         if fps:
             self._ensure_buffers(fps[0])
-        q: _queue.Queue = _queue.Queue(maxsize=self._nbuf - 1)
-        stop = threading.Event()
-
-        def producer():
-            try:
-                slot = 0
-                for start in range(0, len(fps), self.batch_size):
-                    if stop.is_set():
-                        return
-                    chunk = fps[start : start + self.batch_size]
-                    for fp in chunk:
-                        self._ensure_buffers(fp)
-                    raw, meta = self._bufs[slot]
-                    slot = (slot + 1) % self._nbuf
-                    for i, fp in enumerate(chunk):
-                        self.extractor.extract_into(fp, raw, meta, i)
-                    for i in range(len(chunk), self.batch_size):
-                        for c in self.signals:
-                            raw[c][i] = raw[c][len(chunk) - 1]
-                            meta[c][i] = meta[c][len(chunk) - 1]
-                    q.put(('ok', chunk, self._launch(raw, meta)))
-                q.put(('done', None, None))
-            except Exception as e:  # noqa: BLE001
-                q.put(('err', e, None))
-
-        thread = threading.Thread(target=producer, daemon=True)
-        thread.start()
-        try:
-            while True:
-                kind, chunk, result = q.get()
-                if kind == 'done':
-                    return
-                if kind == 'err':
-                    raise chunk
-                preds = np.asarray(result)
-                for i, fp in enumerate(chunk):
-                    yield fp, preds[i]
-        finally:
-            stop.set()
+        return _stream(
+            fps,
+            self.batch_size,
+            lambda: self._bufs,
+            lambda slot_bufs, fp, i: self.extractor.extract_into(fp, slot_bufs[0], slot_bufs[1], i),
+            lambda slot_bufs: self._launch(*slot_bufs),
+            ensure=self._ensure_buffers,
+        )
 
 
 Q16_META_DTYPE = np.dtype([('a', 'f4'), ('b', 'f4'), ('n_valid', 'i4'), ('present', '?')])
@@ -463,14 +504,25 @@ class Q16NightExtractor:
                     lo = f._offsets[ch.index]
                     dig = np.ascontiguousarray(
                         f._records[:, lo : lo + ch.samples_per_record]
-                    ).reshape(-1).astype(np.float32)
-                    res = resample_uniform(dig, fs, col, self.max_length_hours)
-                    np.rint(res, out=res)
-                    dst[:] = res.astype(np.int16)
-                    ratio = self._step[col] * fs
-                    pos = (np.arange(len(dst), dtype=np.float64) + 1.0) * ratio
-                    n_valid = int(np.searchsorted(pos, len(dig) - 1, side='right'))
+                    ).reshape(-1).astype(np.float64)
+                    res, n_valid = _resample_digital_f64(dig, self._step[col] * fs, len(dst))
+                    dst[:] = np.rint(res).astype(np.int16)
                 m[row] = (a, b, n_valid, True)
+
+
+def _resample_digital_f64(dig: np.ndarray, ratio: float, m: int) -> tuple[np.ndarray, int]:
+    """Pure-numpy mirror of the native kernels' double-precision lerp, so
+    fallback transport codes are bit-identical to the C++ path."""
+    n = len(dig)
+    pos = (np.arange(m, dtype=np.float64) + 1.0) * ratio
+    n_valid = int(np.searchsorted(pos, n - 1, side='right'))
+    i0 = np.floor(pos[:n_valid]).astype(np.int64)
+    frac = pos[:n_valid] - i0
+    v0 = dig[i0]
+    v1 = dig[np.minimum(i0 + 1, n - 1)]
+    out = np.zeros(m, np.float64)
+    out[:n_valid] = v0 + frac * (v1 - v0)
+    return out, n_valid
 
 
 def make_streaming_forward_q16(model, precision: str = 'bfloat16') -> Callable:
@@ -515,22 +567,40 @@ class StreamingPipelineQ16:
         precision: str = 'bfloat16',
         prefetch: int = 2,
     ):
+        from .data.preprocessing import signal_target_grid
+
         self.signals = list(signals)
         self.batch_size = batch_size
         self.max_length_hours = max_length_hours
         self.variables = variables
-        S = int(max_length_hours * 120)
-        self._n_grid = {col: COLS_TO_SAMPLES_PER_EPOCH[col] * S for col in self.signals}
-        self.forward = make_streaming_forward_q16(model, precision=precision)
-        self.extractor = Q16NightExtractor(self.signals, max_length_hours)
+        # Buffer lengths come from the grid itself so fractional hours stay
+        # consistent with signal_target_grid (no float truncation).
+        self._n_grid = {
+            col: len(signal_target_grid(col, max_length_hours)) for col in self.signals
+        }
+        self.forward = self._make_forward(model, precision)
+        self.extractor = self._make_extractor()
         self._nbuf = max(2, prefetch)
         self._bufs = [
             (
-                {c: np.zeros((batch_size, self._n_grid[c]), np.int16) for c in self.signals},
-                {c: np.zeros(batch_size, dtype=Q16_META_DTYPE) for c in self.signals},
+                {c: np.zeros((batch_size, self._n_grid[c]), self.transport_dtype) for c in self.signals},
+                {c: np.zeros(batch_size, dtype=self.meta_dtype) for c in self.signals},
             )
             for _ in range(self._nbuf)
         ]
+
+    # Transport hooks (overridden by the int8 variant).
+    transport_dtype = np.int16
+
+    @property
+    def meta_dtype(self):
+        return Q16_META_DTYPE
+
+    def _make_forward(self, model, precision: str) -> Callable:
+        return make_streaming_forward_q16(model, precision=precision)
+
+    def _make_extractor(self):
+        return Q16NightExtractor(self.signals, self.max_length_hours)
 
     def warmup(self):
         import jax
@@ -538,6 +608,8 @@ class StreamingPipelineQ16:
         q, meta = self._bufs[0]
         for c in self.signals:
             meta[c]['n_valid'] = 1
+            if 'vmax' in meta[c].dtype.names:
+                meta[c]['vmax'] = 1.0
         jax.block_until_ready(self._launch(q, meta))
 
     def _launch(self, q, meta):
@@ -551,43 +623,13 @@ class StreamingPipelineQ16:
         return self.forward(self.variables, dev, a, b, n_valid, present)
 
     def run(self, fps: list[str]) -> Iterator[tuple[str, np.ndarray]]:
-        q: queue.Queue = queue.Queue(maxsize=self._nbuf - 1)
-        stop = threading.Event()
-
-        def producer():
-            try:
-                slot = 0
-                for start in range(0, len(fps), self.batch_size):
-                    if stop.is_set():
-                        return
-                    chunk = fps[start : start + self.batch_size]
-                    raw, meta = self._bufs[slot]
-                    slot = (slot + 1) % self._nbuf
-                    for i, fp in enumerate(chunk):
-                        self.extractor.extract_into(fp, raw, meta, i)
-                    for i in range(len(chunk), self.batch_size):
-                        for c in self.signals:
-                            raw[c][i] = raw[c][len(chunk) - 1]
-                            meta[c][i] = meta[c][len(chunk) - 1]
-                    q.put(('ok', chunk, self._launch(raw, meta)))
-                q.put(('done', None, None))
-            except Exception as e:  # noqa: BLE001
-                q.put(('err', e, None))
-
-        thread = threading.Thread(target=producer, daemon=True)
-        thread.start()
-        try:
-            while True:
-                kind, chunk, result = q.get()
-                if kind == 'done':
-                    return
-                if kind == 'err':
-                    raise chunk
-                preds = np.asarray(result)
-                for i, fp in enumerate(chunk):
-                    yield fp, preds[i]
-        finally:
-            stop.set()
+        return _stream(
+            fps,
+            self.batch_size,
+            lambda: self._bufs,
+            lambda slot_bufs, fp, i: self.extractor.extract_into(fp, slot_bufs[0], slot_bufs[1], i),
+            lambda slot_bufs: self._launch(*slot_bufs),
+        )
 
 
 Q8_META_DTYPE = np.dtype(
@@ -654,16 +696,15 @@ class Q8NightExtractor:
                     lo = f._offsets[ch.index]
                     dig = np.ascontiguousarray(
                         f._records[:, lo : lo + ch.samples_per_record]
-                    ).reshape(-1).astype(np.float32)
+                    ).reshape(-1).astype(np.float64)
                     vmax = max(1.0, float(np.abs(dig).max()))
-                    res = resample_uniform(dig, fs, col, self.max_length_hours)
-                    np.rint(res, out=res)
-                    x = np.clip(np.abs(res) / vmax, 0.0, 1.0)
+                    res, n_valid = _resample_digital_f64(dig, self._step[col] * fs, len(dst))
+                    # Mirror the native kernel exactly: round the lerp to an
+                    # integer digital value, then mu-law quantize that.
+                    d = np.rint(res)
+                    x = np.clip(np.abs(d) / vmax, 0.0, 1.0)
                     q = np.rint(127.0 * np.log1p(MU_LAW * x) / np.log1p(MU_LAW))
-                    dst[:] = (np.sign(res) * q).astype(np.int8)
-                    ratio = self._step[col] * fs
-                    pos = (np.arange(len(dst), dtype=np.float64) + 1.0) * ratio
-                    n_valid = int(np.searchsorted(pos, len(dig) - 1, side='right'))
+                    dst[:] = (np.sign(d) * q).astype(np.int8)
                     dst[n_valid:] = 0
                 m[row] = (a, b, vmax, n_valid, True)
 
@@ -699,43 +740,17 @@ def make_streaming_forward_q8(model, precision: str = 'bfloat16') -> Callable:
 class StreamingPipelineQ8(StreamingPipelineQ16):
     """mu-law int8 quantized-grid transport (see Q8NightExtractor)."""
 
-    def __init__(
-        self,
-        model,
-        variables,
-        signals: list[str],
-        batch_size: int = 8,
-        max_length_hours: float = 10.0,
-        precision: str = 'bfloat16',
-        prefetch: int = 2,
-    ):
-        super().__init__(
-            model,
-            variables,
-            signals,
-            batch_size=batch_size,
-            max_length_hours=max_length_hours,
-            precision=precision,
-            prefetch=prefetch,
-        )
-        self.forward = make_streaming_forward_q8(model, precision=precision)
-        self.extractor = Q8NightExtractor(self.signals, max_length_hours)
-        self._bufs = [
-            (
-                {c: np.zeros((batch_size, self._n_grid[c]), np.int8) for c in self.signals},
-                {c: np.zeros(batch_size, dtype=Q8_META_DTYPE) for c in self.signals},
-            )
-            for _ in range(self._nbuf)
-        ]
+    transport_dtype = np.int8
 
-    def warmup(self):
-        import jax
+    @property
+    def meta_dtype(self):
+        return Q8_META_DTYPE
 
-        q, meta = self._bufs[0]
-        for c in self.signals:
-            meta[c]['n_valid'] = 1
-            meta[c]['vmax'] = 1.0
-        jax.block_until_ready(self._launch(q, meta))
+    def _make_forward(self, model, precision: str) -> Callable:
+        return make_streaming_forward_q8(model, precision=precision)
+
+    def _make_extractor(self):
+        return Q8NightExtractor(self.signals, self.max_length_hours)
 
     def _launch(self, q, meta):
         import jax.numpy as jnp
@@ -763,18 +778,20 @@ class StreamingPipeline:
         normalize: bool = True,
         prefetch: int = 2,
     ):
+        from .data.preprocessing import signal_target_grid
+
         self.signals = list(signals)
         self.batch_size = batch_size
         self.max_length_hours = max_length_hours
         self.forward = make_streaming_forward(model, precision=precision, normalize=normalize)
         self.variables = variables
         self.decoder = NightDecoder(self.signals, max_length_hours)
-        S = int(max_length_hours * 120)
+        n_grid = {col: len(signal_target_grid(col, max_length_hours)) for col in self.signals}
         # Double-buffered page-warm host batch buffers.
         self._nbuf = max(2, prefetch)
         self._bufs = [
             {
-                col: np.empty((batch_size, COLS_TO_SAMPLES_PER_EPOCH[col] * S), np.float32)
+                col: np.empty((batch_size, n_grid[col]), np.float32)
                 for col in self.signals
             }
             for _ in range(self._nbuf)
@@ -792,42 +809,16 @@ class StreamingPipeline:
         """Yield (filepath, hypnogram[int32, S]) for each night."""
         import jax.numpy as jnp
 
-        q: queue.Queue = queue.Queue(maxsize=self._nbuf - 1)
-        stop = threading.Event()
+        def launch(buf):
+            # H2D copy + forward dispatch happen in the producer, freeing the
+            # host buffer slot once jnp owns device memory.
+            dev = {c: jnp.asarray(buf[c]) for c in self.signals}
+            return self.forward(self.variables, dev)
 
-        def producer():
-            try:
-                slot = 0
-                for start in range(0, len(fps), self.batch_size):
-                    if stop.is_set():
-                        return
-                    chunk = fps[start : start + self.batch_size]
-                    buf = self._bufs[slot]
-                    slot = (slot + 1) % self._nbuf
-                    for i, fp in enumerate(chunk):
-                        self.decoder.decode_into(fp, {c: buf[c][i] for c in self.signals})
-                    for i in range(len(chunk), self.batch_size):
-                        for c in self.signals:
-                            buf[c][i] = buf[c][len(chunk) - 1]
-                    # H2D copy happens here (fast tunnel), freeing the host
-                    # buffer slot once jnp owns device memory.
-                    dev = {c: jnp.asarray(buf[c]) for c in self.signals}
-                    q.put(('ok', chunk, dev))
-                q.put(('done', None, None))
-            except Exception as e:  # noqa: BLE001
-                q.put(('err', e, None))
-
-        thread = threading.Thread(target=producer, daemon=True)
-        thread.start()
-        try:
-            while True:
-                kind, chunk, dev = q.get()
-                if kind == 'done':
-                    return
-                if kind == 'err':
-                    raise chunk
-                preds = np.asarray(self.forward(self.variables, dev))
-                for i, fp in enumerate(chunk):
-                    yield fp, preds[i]
-        finally:
-            stop.set()
+        return _stream(
+            fps,
+            self.batch_size,
+            lambda: self._bufs,
+            lambda buf, fp, i: self.decoder.decode_into(fp, {c: buf[c][i] for c in self.signals}),
+            launch,
+        )

@@ -88,7 +88,7 @@ class SleepDataModule:
     def __post_init__(self):
         self.columns = list(self.columns)
         if self.pad_to_epochs is None:
-            self.pad_to_epochs = self.max_length_hours * 120
+            self.pad_to_epochs = int(round(self.max_length_hours * 120))
         if self.sync_to_local:
             self.data_location = stage_to_local(
                 self.data_location,
