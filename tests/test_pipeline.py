@@ -331,3 +331,44 @@ def test_stream_early_abandon(tmp_path):
     gc.collect()
     full = dict(pipe.run(fps))  # would deadlock/corrupt before the fix
     assert set(full) == set(fps)
+
+
+def test_q16_pipeline_multichip_mesh(tmp_path):
+    """Quantized serving sharded over an 8-device mesh (batch dim on the
+    'data' axis) must match the single-device hypnograms exactly."""
+    import jax
+
+    from wav2sleep_tpu import models as jm
+    from wav2sleep_tpu.parallel.mesh import make_mesh
+    from wav2sleep_tpu.pipeline import StreamingPipelineQ16
+
+    if jax.device_count() < 8:
+        import pytest
+
+        pytest.skip('needs 8 virtual devices')
+    model = jm.Wav2Sleep(
+        signal_encoders=jm.SignalEncoders(
+            signal_map=jm.as_signal_map({'ECG': 'ECG'}), feature_dim=16, activation='gelu',
+            norm='instance', chunk_causal=False, initial_channels=4, max_channels=8,
+        ),
+        epoch_mixer=jm.MultiModalAttentionEmbedder(feature_dim=16, layers=1, dim_ff=32, nhead=4, dropout=0.0),
+        sequence_mixer=jm.SequenceCNN(feature_dim=16, num_layers=1, kernel_size=3, num_dilations=2, norm='layer', dropout=0.0),
+        num_classes=4,
+    )
+    hours = 6 / 120
+    rng = np.random.default_rng(11)
+    fps = []
+    for i in range(10):
+        fp = str(tmp_path / f'{i}.edf')
+        write_edf(fp, {'ECG': rng.normal(size=int(1024 / 30 * 30) * 6) * 0.5},
+                  {'ECG': 1024 / 30}, physical_ranges={'ECG': (-3, 3)}, record_duration=30.0)
+        fps.append(fp)
+    variables = model.init(jax.random.PRNGKey(0), {'ECG': np.zeros((1, 1024 * 6), np.float32)})
+    mesh = make_mesh(jax.devices()[:8], data=8, model=1)
+    single = dict(StreamingPipelineQ16(model, variables, ['ECG'], batch_size=8,
+                                       max_length_hours=hours, precision='float32').run(fps))
+    sharded = dict(StreamingPipelineQ16(model, variables, ['ECG'], batch_size=8,
+                                        max_length_hours=hours, precision='float32',
+                                        mesh=mesh).run(fps))
+    for fp in fps:
+        np.testing.assert_array_equal(single[fp], sharded[fp])

@@ -566,6 +566,7 @@ class StreamingPipelineQ16:
         max_length_hours: float = 10.0,
         precision: str = 'bfloat16',
         prefetch: int = 2,
+        mesh=None,
     ):
         from .data.preprocessing import signal_target_grid
 
@@ -573,6 +574,23 @@ class StreamingPipelineQ16:
         self.batch_size = batch_size
         self.max_length_hours = max_length_hours
         self.variables = variables
+        self._mesh = mesh
+        self._row_sharding = self._vec_sharding = None
+        if mesh is not None:
+            # Multi-chip serving: shard the night dimension over the mesh's
+            # 'data' axis; GSPMD propagates the sharding through the jitted
+            # forward and the sharded argmax output gathers on fetch.
+            import jax
+            from jax.sharding import NamedSharding
+            from jax.sharding import PartitionSpec as P
+
+            if batch_size % mesh.devices.size != 0:
+                raise ValueError(
+                    f'batch_size={batch_size} must divide evenly over {mesh.devices.size} devices'
+                )
+            self._row_sharding = NamedSharding(mesh, P('data', None))
+            self._vec_sharding = NamedSharding(mesh, P('data'))
+            self.variables = jax.device_put(variables, NamedSharding(mesh, P()))
         # Buffer lengths come from the grid itself so fractional hours stay
         # consistent with signal_target_grid (no float truncation).
         self._n_grid = {
@@ -612,14 +630,24 @@ class StreamingPipelineQ16:
                 meta[c]['vmax'] = 1.0
         jax.block_until_ready(self._launch(q, meta))
 
-    def _launch(self, q, meta):
+    def _put_row(self, arr):
+        import jax
         import jax.numpy as jnp
 
-        dev = {c: jnp.asarray(q[c]) for c in self.signals}
-        a = {c: jnp.asarray(meta[c]['a']) for c in self.signals}
-        b = {c: jnp.asarray(meta[c]['b']) for c in self.signals}
-        n_valid = {c: jnp.asarray(meta[c]['n_valid']) for c in self.signals}
-        present = {c: jnp.asarray(meta[c]['present']) for c in self.signals}
+        return jnp.asarray(arr) if self._row_sharding is None else jax.device_put(arr, self._row_sharding)
+
+    def _put_vec(self, arr):
+        import jax
+        import jax.numpy as jnp
+
+        return jnp.asarray(arr) if self._vec_sharding is None else jax.device_put(arr, self._vec_sharding)
+
+    def _launch(self, q, meta):
+        dev = {c: self._put_row(q[c]) for c in self.signals}
+        a = {c: self._put_vec(meta[c]['a']) for c in self.signals}
+        b = {c: self._put_vec(meta[c]['b']) for c in self.signals}
+        n_valid = {c: self._put_vec(meta[c]['n_valid']) for c in self.signals}
+        present = {c: self._put_vec(meta[c]['present']) for c in self.signals}
         return self.forward(self.variables, dev, a, b, n_valid, present)
 
     def run(self, fps: list[str]) -> Iterator[tuple[str, np.ndarray]]:
@@ -753,14 +781,12 @@ class StreamingPipelineQ8(StreamingPipelineQ16):
         return Q8NightExtractor(self.signals, self.max_length_hours)
 
     def _launch(self, q, meta):
-        import jax.numpy as jnp
-
-        dev = {c: jnp.asarray(q[c]) for c in self.signals}
-        a = {c: jnp.asarray(meta[c]['a']) for c in self.signals}
-        b = {c: jnp.asarray(meta[c]['b']) for c in self.signals}
-        vmax = {c: jnp.asarray(meta[c]['vmax']) for c in self.signals}
-        n_valid = {c: jnp.asarray(meta[c]['n_valid']) for c in self.signals}
-        present = {c: jnp.asarray(meta[c]['present']) for c in self.signals}
+        dev = {c: self._put_row(q[c]) for c in self.signals}
+        a = {c: self._put_vec(meta[c]['a']) for c in self.signals}
+        b = {c: self._put_vec(meta[c]['b']) for c in self.signals}
+        vmax = {c: self._put_vec(meta[c]['vmax']) for c in self.signals}
+        n_valid = {c: self._put_vec(meta[c]['n_valid']) for c in self.signals}
+        present = {c: self._put_vec(meta[c]['present']) for c in self.signals}
         return self.forward(self.variables, dev, a, b, vmax, n_valid, present)
 
 
