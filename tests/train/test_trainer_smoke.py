@@ -271,3 +271,11 @@ def test_train_cli_multirun(corpus, tmp_path, monkeypatch):
     assert len(run_dirs) == 2
     for d in run_dirs:
         assert os.path.exists(os.path.join(d, 'config.yaml'))
+
+
+def test_fit_bfloat16_precision(corpus, tmp_path):
+    """Mixed-precision training (bf16 compute, host-cast bf16 batches) runs
+    and produces finite losses and a usable confusion matrix."""
+    trainer = make_trainer(corpus, tmp_path / 'bf16', epochs=1, precision='bfloat16')
+    out = trainer.fit()
+    assert np.isfinite(out['val_loss']), out

@@ -237,6 +237,14 @@ class Trainer:
         t0 = time.time()
         n = 0
         for x, y in self.datamodule.train_loader(epoch):
+            if self.precision == 'bfloat16':
+                # The train step casts inputs to bf16 anyway (mixed precision);
+                # casting on the host first halves H2D bytes with bit-identical
+                # results (polarity flip and the -inf sentinel are exact in
+                # bf16, and the z-score already happened in f32).
+                import ml_dtypes
+
+                x = {k: v.astype(ml_dtypes.bfloat16) for k, v in x.items()}
             self._ensure_state((x, y))
             state, metrics = self._jit_train(self.state, self._device_batch(x, y), step_rng)
             self.state = state
