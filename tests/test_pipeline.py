@@ -372,3 +372,45 @@ def test_q16_pipeline_multichip_mesh(tmp_path):
                                         mesh=mesh).run(fps))
     for fp in fps:
         np.testing.assert_array_equal(single[fp], sharded[fp])
+
+
+def test_q8_pipeline_eog_5class(tmp_path):
+    """Neural (EOG-L/R, 4096 samples/epoch) 5-class model through the q8
+    streaming transport — exercises the largest per-epoch rate."""
+    import jax
+
+    from wav2sleep_tpu import models as jm
+    from wav2sleep_tpu.pipeline import StreamingPipeline, StreamingPipelineQ8
+
+    model = jm.Wav2Sleep(
+        signal_encoders=jm.SignalEncoders(
+            signal_map=jm.as_signal_map({'EOG-L': 'EOG', 'EOG-R': 'EOG'}),
+            feature_dim=16, activation='gelu', norm='instance', chunk_causal=False,
+            initial_channels=4, max_channels=8,
+        ),
+        epoch_mixer=jm.MultiModalAttentionEmbedder(feature_dim=16, layers=1, dim_ff=32, nhead=4, dropout=0.0),
+        sequence_mixer=jm.SequenceCNN(feature_dim=16, num_layers=1, kernel_size=3, num_dilations=2, norm='layer', dropout=0.0),
+        num_classes=5,
+    )
+    hours = 4 / 120
+    rng = np.random.default_rng(13)
+    fps = []
+    for i in range(2):
+        n = int(256 * 30) * 4  # 256 Hz source -> resampled to 4096/30 Hz
+        sigs = {'EOG(L)': rng.normal(size=n) * 40, 'EOG(R)': rng.normal(size=n) * 40}
+        fp = str(tmp_path / f'{i}.edf')
+        write_edf(fp, sigs, {k: 256.0 for k in sigs}, units={k: 'uV' for k in sigs},
+                  physical_ranges={k: (-100, 100) for k in sigs}, record_duration=30.0)
+        fps.append(fp)
+    x0 = {'EOG-L': np.zeros((1, 4096 * 4), np.float32), 'EOG-R': np.zeros((1, 4096 * 4), np.float32)}
+    variables = model.init(jax.random.PRNGKey(0), x0)
+    cols = ['EOG-L', 'EOG-R']
+    out_f32 = dict(StreamingPipeline(model, variables, cols, batch_size=2,
+                                     max_length_hours=hours, precision='float32').run(fps))
+    out_q8 = dict(StreamingPipelineQ8(model, variables, cols, batch_size=2,
+                                      max_length_hours=hours, precision='float32').run(fps))
+    for fp in fps:
+        assert out_q8[fp].shape == (4,)
+        assert set(np.unique(out_q8[fp])) <= {0, 1, 2, 3, 4}
+    agreement = np.concatenate([out_f32[fp] == out_q8[fp] for fp in fps]).mean()
+    assert agreement >= 0.75, agreement
