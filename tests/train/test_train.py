@@ -172,3 +172,43 @@ def test_multirun_keeps_bracketed_lists():
     assert len(out) == 2
     for sub in out:
         assert 'datasets.train=[mesa,shhs]' in sub
+
+
+def test_weight_ema_tracks_reference_formula():
+    """In-graph weight EMA (the reference EMACallback role): frozen before
+    start_step, then ema = d*ema + (1-d)*params after each update."""
+    import optax
+
+    from wav2sleep_tpu import models as jm
+    from wav2sleep_tpu.train.step import init_train_state, make_optimizer, make_train_step
+
+    model = jm.Wav2Sleep(
+        signal_encoders=jm.SignalEncoders(
+            signal_map=jm.as_signal_map({'ECG': 'ECG'}), feature_dim=8, activation='gelu',
+            norm='instance', chunk_causal=False, initial_channels=2, max_channels=4,
+        ),
+        epoch_mixer=jm.MultiModalAttentionEmbedder(feature_dim=8, layers=1, dim_ff=16, nhead=2, dropout=0.0),
+        sequence_mixer=jm.SequenceCNN(feature_dim=8, num_layers=1, kernel_size=3, num_dilations=1, norm='layer', dropout=0.0),
+        num_classes=4,
+    )
+    rng = np.random.default_rng(0)
+    x = {'ECG': rng.normal(size=(2, 1024 * 2)).astype(np.float32)}
+    y = rng.integers(0, 4, size=(2, 2)).astype(np.float32)
+    tx = make_optimizer(optax.constant_schedule(1e-2), weight_decay=0.0, grad_clip=1.0)
+    state = init_train_state(model, tx, x, jax.random.PRNGKey(0), ema=True)
+    step = jax.jit(make_train_step(model, tx, num_classes=4, masker=None, flip_polarity=False,
+                                   ema_decay=0.5, ema_start_step=1))
+
+    def leaf(tree):
+        return np.asarray(jax.tree_util.tree_leaves(tree)[0]).copy()
+
+    ema0 = leaf(state.ema_params)
+    # Step 0 (< start_step): EMA frozen at init.
+    state, _ = step(state, (x, y), jax.random.PRNGKey(1))
+    np.testing.assert_allclose(leaf(state.ema_params), ema0, rtol=1e-6)
+    # Step 1 (>= start_step): ema = 0.5*ema + 0.5*new_params.
+    prev_ema = leaf(state.ema_params)
+    state, _ = step(state, (x, y), jax.random.PRNGKey(2))
+    expected = 0.5 * prev_ema + 0.5 * leaf(state.params)
+    np.testing.assert_allclose(leaf(state.ema_params), expected, rtol=1e-5, atol=1e-7)
+    assert not np.allclose(leaf(state.ema_params), leaf(state.params))
