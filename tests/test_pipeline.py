@@ -414,3 +414,43 @@ def test_q8_pipeline_eog_5class(tmp_path):
         assert set(np.unique(out_q8[fp])) <= {0, 1, 2, 3, 4}
     agreement = np.concatenate([out_f32[fp] == out_q8[fp] for fp in fps]).mean()
     assert agreement >= 0.75, agreement
+
+
+def test_streaming_causal_normalization(tmp_path):
+    """normalize='causal' streaming path (Pallas EMA kernel on TPU,
+    interpreter on CPU) must match host causal_rolling_normalize + model."""
+    import jax
+    import jax.numpy as jnp
+
+    from wav2sleep_tpu import models as jm
+    from wav2sleep_tpu.ops import causal_rolling_normalize
+    from wav2sleep_tpu.pipeline import NightDecoder, StreamingPipeline
+
+    model = jm.Wav2Sleep(
+        signal_encoders=jm.SignalEncoders(
+            signal_map=jm.as_signal_map({'ECG': 'ECG'}), feature_dim=16, activation='gelu',
+            norm='instance', chunk_causal=False, initial_channels=4, max_channels=8,
+        ),
+        epoch_mixer=jm.MultiModalAttentionEmbedder(feature_dim=16, layers=1, dim_ff=32, nhead=4, dropout=0.0),
+        sequence_mixer=jm.SequenceCNN(feature_dim=16, num_layers=1, kernel_size=3, num_dilations=2, norm='layer', dropout=0.0),
+        num_classes=4,
+    )
+    hours = 4 / 120
+    rng = np.random.default_rng(17)
+    fp = str(tmp_path / 'n.edf')
+    n = int(1024 / 30 * 30) * 4
+    write_edf(fp, {'ECG': np.sin(np.arange(n) / 7.0) * 0.6 + rng.normal(size=n) * 0.05},
+              {'ECG': 1024 / 30}, physical_ranges={'ECG': (-3, 3)}, record_duration=30.0)
+    variables = model.init(jax.random.PRNGKey(0), {'ECG': np.zeros((1, 1024 * 4), np.float32)})
+
+    pipe = StreamingPipeline(model, variables, ['ECG'], batch_size=1,
+                             max_length_hours=hours, precision='float32', normalize='causal')
+    (got_fp, got), = list(pipe.run([fp]))
+
+    # Host reference: decode -> causal EMA normalize -> model -> argmax.
+    dec = NightDecoder(['ECG'], max_length_hours=hours)
+    raw = {'ECG': np.empty(1024 * 4, np.float32)}
+    dec.decode_into(fp, raw)
+    z = causal_rolling_normalize(raw['ECG'], sampling_freq=1024 / 30)
+    ref = np.argmax(np.asarray(model.apply(variables, {'ECG': jnp.asarray(z[None])})), axis=-1)[0]
+    np.testing.assert_array_equal(got, ref)
