@@ -158,20 +158,33 @@ int64_t w2s_resample_q8(
   }
   const double V = static_cast<double>(vmax_i);
   *out_vmax = V;
-  // Quantization LUT over the int16 range (mu-law, mu=255).
-  static thread_local int8_t lut[65536];
-  static thread_local double lut_V = -1.0;
+  // Quantization LUTs over the int16 range (mu-law, mu=255), cached per
+  // digital peak V: a batch interleaves channels with distinct Vs every
+  // night, so a single-entry cache would rebuild 65536 log1p entries per
+  // channel per night.
+  constexpr int kLutSlots = 8;
+  static thread_local int8_t luts[kLutSlots][65536];
+  static thread_local double lut_Vs[kLutSlots] = {-1, -1, -1, -1, -1, -1, -1, -1};
+  static thread_local int lut_next = 0;
   const double mu = 255.0;
   const double inv_log1p_mu = 1.0 / std::log1p(mu);
-  if (lut_V != V) {
+  int slot = -1;
+  for (int s = 0; s < kLutSlots; ++s) {
+    if (lut_Vs[s] == V) { slot = s; break; }
+  }
+  if (slot < 0) {
+    slot = lut_next;
+    lut_next = (lut_next + 1) % kLutSlots;
+    int8_t* l = luts[slot];
     for (int32_t d = -32768; d < 32768; ++d) {
       const double x = static_cast<double>(d < 0 ? -d : d) / V;
       const double q = 127.0 * std::log1p(mu * (x > 1.0 ? 1.0 : x)) * inv_log1p_mu;
       const int32_t qi = static_cast<int32_t>(std::lrint(q));
-      lut[static_cast<uint16_t>(d)] = static_cast<int8_t>(d < 0 ? -qi : qi);
+      l[static_cast<uint16_t>(d)] = static_cast<int8_t>(d < 0 ? -qi : qi);
     }
-    lut_V = V;
+    lut_Vs[slot] = V;
   }
+  const int8_t* lut = luts[slot];
   const double ratio = step * fs;
   if (ratio == 1.0) {
     const int64_t n_valid = (n - 1 < m) ? (n - 1) : m;
