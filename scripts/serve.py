@@ -91,6 +91,11 @@ def main(argv=None) -> None:
     from wav2sleep_tpu.settings import PRED, TIMESTAMP
 
     model = api.load_model(args.model_folder)
+    if model.family == 'ppgnet':
+        raise SystemExit(
+            'The streaming transports drive the multi-modal wav2sleep family; '
+            'use scripts/predict.py for SleepPPG-Net checkpoints.'
+        )
     signals = args.signals.split(',') if args.signals else model.valid_signals
     invalid = set(signals) - set(model.valid_signals)
     if invalid:
@@ -104,6 +109,10 @@ def main(argv=None) -> None:
 
         mesh = make_mesh(jax.devices()[: args.data_parallel], data=args.data_parallel, model=1)
 
+    def out_path(fp: str) -> str:
+        rel = os.path.relpath(fp, args.input_folder)
+        return os.path.join(args.output_folder, os.path.splitext(rel)[0] + '.preds.csv')
+
     fps = sorted(
         os.path.join(root, f)
         for root, _, files in os.walk(args.input_folder)
@@ -112,19 +121,35 @@ def main(argv=None) -> None:
     )
     if not fps:
         raise SystemExit(f'No EDF files under {args.input_folder}')
+    if not args.overwrite:
+        # Resume cheaply: skip nights whose output already exists BEFORE
+        # spending chip time on them.
+        skipped = [fp for fp in fps if os.path.exists(out_path(fp))]
+        for fp in skipped:
+            logger.warning(f'File {out_path(fp)} exists. Skipping.')
+        fps = [fp for fp in fps if not os.path.exists(out_path(fp))]
+        if not fps:
+            logger.info('Nothing to do.')
+            return
     logger.info(f'Serving {len(fps)} recordings with transport={args.transport} signals={signals}')
+
+    from wav2sleep_tpu.data.edf import read_edf_header
 
     pipe = make_pipeline(model, args.transport, list(signals), args, mesh=mesh)
     os.makedirs(args.output_folder, exist_ok=True)
     t0 = time.time()
     n = 0
     for fp, hyp in pipe.run(fps):
-        rel = os.path.relpath(fp, args.input_folder)
-        out_fp = os.path.join(args.output_folder, os.path.splitext(rel)[0] + '.preds.csv')
-        if os.path.exists(out_fp) and not args.overwrite:
-            logger.warning(f'File {out_fp} exists. Skipping.')
-            continue
+        out_fp = out_path(fp)
         os.makedirs(os.path.dirname(out_fp), exist_ok=True)
+        # Trim the padded grid to the recording's actual length (parity with
+        # api.predict, which emits preds[:night_epochs]).
+        try:
+            header = read_edf_header(fp)
+            night_epochs = min(len(hyp), int(header.duration_seconds // 30))
+        except (OSError, ValueError):
+            night_epochs = len(hyp)
+        hyp = hyp[:night_epochs]
         index = pd.Index(np.arange(len(hyp)) * 30.0 + 30.0, name=TIMESTAMP)
         try:
             start = get_edf_start(fp)

@@ -226,3 +226,24 @@ def test_serve_cli_streaming(checkpoint_folder, edf_folder, tmp_path):
     assert len(df) == 90  # 45 min = 90 epochs
     assert set(df['Pred'].unique()) <= {0, 1, 2, 3}
     assert df.index[0].startswith('2002-03-01 23:00:30')
+
+    # A grid longer than the recording trims to the real length (parity with
+    # api.predict), and existing outputs are skipped without --overwrite.
+    out2 = str(tmp_path / 'preds2')
+    mod.main([
+        '--input-folder', edf_folder,
+        '--output-folder', out2,
+        '--model-folder', folder,
+        '--transport', 'q8',
+        '--precision', 'float32',
+        '--batch-size', '2',
+        '--max-length-hours', '1.0',
+    ])
+    df2 = pd.read_csv(os.path.join(out2, 'night0.preds.csv'), index_col=0)
+    assert len(df2) == 90  # trimmed from the 120-epoch grid
+    mod.main([
+        '--input-folder', edf_folder,
+        '--output-folder', out2,
+        '--model-folder', folder,
+        '--max-length-hours', '1.0',
+    ])  # all outputs exist -> 'Nothing to do' path, no crash

@@ -68,11 +68,7 @@ def test_two_process_distributed_train_step(tmp_path):
     with socket.socket() as s:
         s.bind(('localhost', 0))
         port = s.getsockname()[1]
-    env = {
-        k: v
-        for k, v in os.environ.items()
-        if 'axon' not in v.lower() or k not in ('PYTHONPATH', 'JAX_PLATFORMS')
-    }
+    env = dict(os.environ)
     env.update(
         PYTHONPATH=REPO,
         JAX_PLATFORMS='cpu',

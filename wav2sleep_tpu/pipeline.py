@@ -172,8 +172,12 @@ def _stream(
     ``launch(slot_bufs)`` (H2D + jitted forward) and enqueues the async
     result; the consumer fetches predictions. ``q.put`` is stop-aware so an
     abandoned generator (consumer stops iterating early) releases the
-    producer instead of deadlocking it on the bounded queue.
+    producer instead of deadlocking it on the bounded queue, and the
+    generator's cleanup joins the producer so a subsequent run() never races
+    it for the pooled buffers.
     """
+    if not fps:
+        return
     out_q: queue.Queue = queue.Queue(maxsize=max(len(get_bufs()) - 1, 1))
     stop = threading.Event()
 
@@ -229,6 +233,7 @@ def _stream(
                 yield fp, preds[i]
     finally:
         stop.set()
+        thread.join()  # bounded: put() polls stop every 0.2 s
 
 
 class RawNightExtractor:
@@ -584,9 +589,10 @@ class StreamingPipelineQ16:
             from jax.sharding import NamedSharding
             from jax.sharding import PartitionSpec as P
 
-            if batch_size % mesh.devices.size != 0:
+            n_data = mesh.shape['data']
+            if batch_size % n_data != 0:
                 raise ValueError(
-                    f'batch_size={batch_size} must divide evenly over {mesh.devices.size} devices'
+                    f'batch_size={batch_size} must divide evenly over the data axis ({n_data})'
                 )
             self._row_sharding = NamedSharding(mesh, P('data', None))
             self._vec_sharding = NamedSharding(mesh, P('data'))

@@ -215,6 +215,24 @@ class Trainer:
                 self._jit_train = jax.jit(self._train_step, donate_argnums=(0,))
             self._jit_eval = jax.jit(self._eval_step)
 
+    def _bf16_cast(self, x):
+        import ml_dtypes
+
+        pool = getattr(self, '_bf16_pool', None)
+        if pool is None:
+            pool = self._bf16_pool = [{}, {}]
+            self._bf16_slot = 0
+        slot = pool[self._bf16_slot]
+        self._bf16_slot = 1 - self._bf16_slot
+        out = {}
+        for k, v in x.items():
+            buf = slot.get(k)
+            if buf is None or buf.shape != v.shape:
+                buf = slot[k] = np.empty(v.shape, ml_dtypes.bfloat16)
+            np.copyto(buf, v, casting='same_kind')
+            out[k] = buf
+        return out
+
     def _device_batch(self, x, y):
         if self.mesh is not None:
             import jax as _jax
@@ -241,10 +259,11 @@ class Trainer:
                 # The train step casts inputs to bf16 anyway (mixed precision);
                 # casting on the host first halves H2D bytes with bit-identical
                 # results (polarity flip and the -inf sentinel are exact in
-                # bf16, and the z-score already happened in f32).
-                import ml_dtypes
-
-                x = {k: v.astype(ml_dtypes.bfloat16) for k, v in x.items()}
+                # bf16, and the z-score already happened in f32). Cast into
+                # page-warm pooled buffers (fresh large allocations fault at
+                # ~12 MB/s on sandboxed hosts); two slots alternate so an
+                # in-flight transfer is never overwritten.
+                x = self._bf16_cast(x)
             self._ensure_state((x, y))
             state, metrics = self._jit_train(self.state, self._device_batch(x, y), step_rng)
             self.state = state
