@@ -153,6 +153,7 @@ class Trainer:
     mesh: Any = None
     eval_subsets: bool = True
     max_steps_per_epoch: Optional[int] = None  # debug cap
+    progress_bar: bool = True  # smoothed tqdm (reference CustomTQDMProgressBar)
 
     state: TrainState = field(default=None, repr=False)
     current_epoch: int = 0
@@ -248,13 +249,26 @@ class Trainer:
         return (x, y)
 
     # ------------------------------------------------------------------
+    def _progress(self, it, desc: str):
+        """Smoothed tqdm progress (the reference CustomTQDMProgressBar role:
+        smoothing=0.7 so batches/s reflects current throughput,
+        trainer/callbacks.py:150-171 there). No-op when tqdm is missing or
+        progress is disabled."""
+        if not self.progress_bar:
+            return it
+        try:
+            from tqdm import tqdm
+        except ImportError:
+            return it
+        return tqdm(it, desc=desc, smoothing=0.7, leave=False)
+
     def train_epoch(self, epoch: int) -> dict[str, float]:
         losses = []
         cmat = np.zeros((self.num_classes, self.num_classes), np.int64)
         step_rng = jax.random.fold_in(self.rng, epoch)
         t0 = time.time()
         n = 0
-        for x, y in self.datamodule.train_loader(epoch):
+        for x, y in self._progress(self.datamodule.train_loader(epoch), f'train e{epoch}'):
             if self.precision == 'bfloat16':
                 # The train step casts inputs to bf16 anyway (mixed precision);
                 # casting on the host first halves H2D bytes with bit-identical
