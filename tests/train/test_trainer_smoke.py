@@ -273,6 +273,89 @@ def test_train_cli_multirun(corpus, tmp_path, monkeypatch):
         assert os.path.exists(os.path.join(d, 'config.yaml'))
 
 
+def test_eval_matrix_one_pass(corpus, tmp_path, monkeypatch):
+    """Each eval epoch reads every night once per loader (no per-subset
+    reloads) and subset metrics equal a per-subset re-run of the loader."""
+    import wav2sleep_tpu.data.dataset as dsmod
+    from wav2sleep_tpu.settings import ECG, THX
+
+    trainer = make_trainer(corpus, tmp_path / 'run_eval1pass', epochs=1)
+    trainer._ensure_state(next(iter(trainer.datamodule.train_loader(0))))
+
+    reads: list[str] = []
+    orig_read = dsmod.try_read_parquet
+
+    def counting_read(fp, *a, **kw):
+        reads.append(fp)
+        return orig_read(fp, *a, **kw)
+
+    monkeypatch.setattr(dsmod, 'try_read_parquet', counting_read)
+    metrics = trainer.evaluate('val', epoch=0)
+    # Corpus: mesa+shhs x 4 val nights. Combined loader reads 8; each
+    # per-dataset loader reads its 4 nights ONCE despite evaluating the
+    # (ECG,) and (ECG, THX) subsets on the same batches.
+    assert len(reads) == 8 + 4 + 4, reads
+    assert 'val_ECG_loss_mesa' in metrics and 'val_ECG_THX_loss_shhs' in metrics
+
+    # Equivalence with the one-subset-per-pass protocol.
+    for ds_name in ('mesa', 'shhs'):
+        for subset in ((ECG,), (ECG, THX)):
+            loader = dict(trainer.datamodule.val_loaders())[ds_name]
+            losses = []
+            for x, y in loader:
+                present = {k: np.full((y.shape[0],), k in subset, bool) for k in x}
+                out = trainer._jit_eval(
+                    trainer._eval_params(), trainer.state.batch_stats, (x, y), present
+                )
+                losses.append(float(out['loss']))
+            key = f'val_{"_".join(subset)}_loss_{ds_name}'
+            assert np.isclose(metrics[key], np.mean(losses), rtol=0, atol=1e-7)
+
+
+def test_set_lr_scale_is_functional(corpus, tmp_path):
+    """Plateau LR rescale rebuilds the optimizer state functionally and the
+    scale survives a checkpoint round-trip."""
+    import jax.numpy as jnp
+    import optax
+
+    from wav2sleep_tpu.train.checkpointing import CheckpointManager
+    from wav2sleep_tpu.train.loop import _set_lr_scale
+
+    def get_scale(opt_state):
+        found = []
+
+        inject_types = (optax.InjectHyperparamsState, optax.InjectStatefulHyperparamsState)
+
+        def walk(node):
+            if isinstance(node, inject_types):
+                found.append(float(node.hyperparams['lr_scale']))
+            elif isinstance(node, (tuple, list)):
+                for o in node:
+                    walk(o)
+
+        walk(opt_state)
+        assert len(found) == 1
+        return found[0]
+
+    t1 = make_trainer(corpus, tmp_path / 'plateau_run', epochs=1, scheduler='plateau')
+    t1.fit()
+    old_opt_state = t1.state.opt_state
+    t1.state = _set_lr_scale(t1.state, 0.25)
+    assert get_scale(t1.state.opt_state) == 0.25
+    assert get_scale(old_opt_state) == 1.0  # no in-place mutation
+    # A train step still runs with the rebuilt state.
+    x, y = next(iter(t1.datamodule.train_loader(1)))
+    state, m = t1._jit_train(t1.state, (x, y), jnp.asarray(t1.rng))
+    assert np.isfinite(float(m['loss']))
+    t1.state = state
+
+    ckpt = CheckpointManager(os.path.join(t1.log_dir, 'checkpoints'))
+    ckpt.save(t1, epoch=1, val_loss=1.0, is_best=False)
+    t2 = make_trainer(corpus, tmp_path / 'plateau_run', epochs=2, scheduler='plateau')
+    t2.restore('last')
+    assert get_scale(t2.state.opt_state) == 0.25
+
+
 def test_fit_bfloat16_precision(corpus, tmp_path):
     """Mixed-precision training (bf16 compute, host-cast bf16 batches) runs
     and produces finite losses and a usable confusion matrix."""

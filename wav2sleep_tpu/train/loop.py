@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..settings import CCSHS, CFS, CHAT, ECG, MESA, PPG, SHHS, TEST, THX, TRAIN, VAL
+from ..settings import CCSHS, CFS, CHAT, ECG, MESA, PPG, SHHS, THX, TRAIN, VAL
 from ..stats import cohens_kappa, confusion_accuracy
 from .datamodule import SleepDataModule
 from .masker import SignalMasker
@@ -305,21 +305,31 @@ class Trainer:
             return self.state.ema_params
         return self.state.params
 
-    def _run_eval(self, loader, present_spec=None):
-        """One pass over a loader; optional signal subset via presence."""
-        losses, total = [], np.zeros((self.num_classes, self.num_classes), np.int64)
+    def _run_eval(self, loader, subsets: tuple[tuple[str, ...], ...] = ()):
+        """ONE pass over a loader: each batch is read from parquet and
+        transferred to device once, then evaluated under the full modality
+        set plus every requested signal subset. The presence-mask eval graph
+        makes the subsets free of reloads and retraces (the reference
+        re-runs the whole loader per subset, trainer/main.py:188-224).
+        Returns ``{None: (loss, cmat), subset: (loss, cmat), ...}``."""
+        keys: list = [None, *subsets]
+        losses: dict = {k: [] for k in keys}
+        cmats = {k: np.zeros((self.num_classes, self.num_classes), np.int64) for k in keys}
         params = self._eval_params()
         for x, y in loader:
-            present = None
-            if present_spec is not None:
-                B = y.shape[0]
-                present = {
-                    k: np.full((B,), k in present_spec, dtype=bool) for k in x
-                }
-            out = self._jit_eval(params, self.state.batch_stats, self._device_batch(x, y), present)
-            losses.append(float(out['loss']))
-            total += np.asarray(out['cmat'], np.int64)
-        return (float(np.mean(losses)) if losses else float('nan')), total
+            batch = self._device_batch(x, y)
+            B = y.shape[0]
+            for key in keys:
+                present = None
+                if key is not None:
+                    present = {k: np.full((B,), k in key, dtype=bool) for k in x}
+                out = self._jit_eval(params, self.state.batch_stats, batch, present)
+                losses[key].append(float(out['loss']))
+                cmats[key] += np.asarray(out['cmat'], np.int64)
+        return {
+            k: ((float(np.mean(losses[k])) if losses[k] else float('nan')), cmats[k])
+            for k in keys
+        }
 
     def _subset_matrix(self, ds_name: str, mode: str) -> list[tuple[str, ...]]:
         """Signal subsets to evaluate per dataset (reference
@@ -350,30 +360,21 @@ class Trainer:
         results: dict[str, float] = {}
         for idx, (ds_name, loader) in enumerate(loaders):
             is_combined = mode == VAL and idx == 0
-            loss, cmat = self._run_eval(loader)
+            subsets = () if is_combined else tuple(self._subset_matrix(ds_name, mode))
+            stats = self._run_eval(loader, subsets)
+            loss, cmat = stats[None]
             if is_combined:
                 results[f'{mode}_loss'] = loss
             else:
                 results[f'{mode}_loss_{ds_name}'] = loss
             self.metrics_logger.log_confusion(cmat, epoch, prefix=f'{mode}_{ds_name}')
-            if is_combined:
-                continue
-            for subset in self._subset_matrix(ds_name, mode):
+            for subset in subsets:
                 sig_prefix = '_'.join(subset)
-                # Re-materialize the loader for each subset pass.
-                sub_loader = self._reload(mode, ds_name)
-                loss_s, cmat_s = self._run_eval(sub_loader, present_spec=set(subset))
+                loss_s, cmat_s = stats[subset]
                 results[f'{mode}_{sig_prefix}_loss_{ds_name}'] = loss_s
                 self.metrics_logger.log_confusion(cmat_s, epoch, prefix=f'{mode}_{sig_prefix}_{ds_name}')
         self.metrics_logger.log(results, step=epoch)
         return results
-
-    def _reload(self, mode: str, ds_name: str):
-        loaders = self.datamodule.val_loaders() if mode == VAL else self.datamodule.test_loaders()
-        for name, loader in loaders if mode == TEST else loaders[1:]:
-            if name == ds_name:
-                return loader
-        raise KeyError(ds_name)
 
     # ------------------------------------------------------------------
     def fit(self, resume_from: str | None = None) -> dict[str, float]:
@@ -447,23 +448,38 @@ class Trainer:
 
 
 def _set_lr_scale(state: TrainState, scale: float) -> TrainState:
-    """Update the injected lr_scale hyperparam inside the optimizer state."""
+    """Return a new TrainState whose injected ``lr_scale`` hyperparam is
+    replaced (functional rebuild of the ``optax.InjectHyperparamsState``
+    node — no in-place mutation of optimizer internals)."""
+    import optax
 
-    def visit(node):
-        if hasattr(node, 'hyperparams') and 'lr_scale' in getattr(node, 'hyperparams', {}):
-            node.hyperparams['lr_scale'] = jnp.asarray(scale, jnp.float32)
+    inject_types = tuple(
+        t
+        for t in (
+            getattr(optax, 'InjectHyperparamsState', None),
+            getattr(optax, 'InjectStatefulHyperparamsState', None),
+        )
+        if t is not None
+    )
+    found = 0
+
+    def rebuild(node):
+        nonlocal found
+        if isinstance(node, inject_types):
+            if 'lr_scale' in node.hyperparams:
+                found += 1
+                hyperparams = {**node.hyperparams, 'lr_scale': jnp.asarray(scale, jnp.float32)}
+                return node._replace(hyperparams=hyperparams)
+            return node._replace(inner_state=rebuild(node.inner_state))
+        if isinstance(node, tuple):
+            rebuilt = [rebuild(o) for o in node]
+            # NamedTuple states (MultiStepsState etc.) vs plain chain tuples.
+            return type(node)(*rebuilt) if hasattr(node, '_fields') else tuple(rebuilt)
+        if isinstance(node, list):
+            return [rebuild(o) for o in node]
         return node
 
-    jax.tree_util.tree_map(lambda x: x, state.opt_state)  # no-op traversal
-    # inject_hyperparams stores hyperparams in a dict inside the state tuple;
-    # mutate in place (host-side between steps).
-    def walk(obj):
-        if hasattr(obj, 'hyperparams') and isinstance(obj.hyperparams, dict) and 'lr_scale' in obj.hyperparams:
-            obj.hyperparams['lr_scale'] = jnp.asarray(scale, jnp.float32)
-            return
-        if isinstance(obj, (tuple, list)):
-            for o in obj:
-                walk(o)
-
-    walk(state.opt_state)
-    return state
+    new_opt_state = rebuild(state.opt_state)
+    if not found:
+        raise ValueError('No lr_scale hyperparam in the optimizer state (plateau scheduler not active?)')
+    return state.replace(opt_state=new_opt_state)
