@@ -1,0 +1,300 @@
+#!/usr/bin/env python
+"""Quantify the quality cost of the mu-law int8 (q8) serving transport.
+
+Generates off-grid, physiologically-scaled synthetic nights (ECG 125 Hz with
+stage-modulated heart rate, QRS spikes, baseline wander and movement
+artifacts; PPG 256 Hz pulse waves; respiration 10 Hz with stage-modulated
+amplitude and apnea-like dropouts), briefly TRAINS the flagship model to
+separate the synthetic stages (so logits have trained-model structure), then
+runs the same weights through the lossless f32 decode path and the q8
+companded transport on held-out nights and compares end-to-end. Reported:
+
+- hypnogram agreement + Cohen's kappa between the two hypnograms,
+- logit perturbation |delta| (mean / p95) vs the per-epoch decision margin,
+- the decision margin of flipped epochs (flips should sit at near-ties).
+
+A second configuration repeats the comparison with random-init weights whose
+per-class bias has been centered out — there the decision margins are ~15x
+smaller than any trained model's, giving a deliberately pessimistic bound.
+
+The released reference checkpoints aren't fetchable here (no egress), so the
+synthetic-trained model is the realism anchor. Prints one JSON line per
+configuration.
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime
+import json
+import os
+import sys
+import tempfile
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+RATES = {'ECG': 125.0, 'Pleth': 256.0, 'ABDO RES': 10.0, 'THOR RES': 10.0}
+EDF_TO_COL = {'ECG': 'ECG', 'Pleth': 'PPG', 'ABDO RES': 'ABD', 'THOR RES': 'THX'}
+
+# Per-stage signal physiology (Wake / Light / Deep / REM).
+STAGE_HR = np.array([1.2, 1.0, 0.85, 1.05])
+STAGE_HRV = np.array([0.08, 0.04, 0.02, 0.12])
+STAGE_RESP_AMP = np.array([0.4, 0.6, 0.9, 0.5])
+STAGE_ECG_NOISE = np.array([40.0, 15.0, 10.0, 20.0])
+
+
+def synth_stages(rng: np.random.Generator, n_epochs: int) -> np.ndarray:
+    """Stage sequence with realistic dwell (~20-epoch geometric segments)."""
+    stages = []
+    while len(stages) < n_epochs:
+        stage = int(rng.integers(0, 4))
+        stages.extend([stage] * int(rng.geometric(1 / 20.0)))
+    return np.asarray(stages[:n_epochs], np.int32)
+
+
+def synth_night(rng: np.random.Generator, hours: float) -> tuple[dict, np.ndarray]:
+    """Stage-modulated signals (amplitudes in channel-native units)."""
+    n_epochs = int(hours * 120)
+    stages = synth_stages(rng, n_epochs)
+
+    def per_sample(fs, values):
+        return np.repeat(values[stages], int(round(fs * 30)))
+
+    t_ecg = np.arange(int(RATES['ECG'] * 30) * n_epochs) / RATES['ECG']
+    hr = per_sample(RATES['ECG'], STAGE_HR) * (
+        1 + per_sample(RATES['ECG'], STAGE_HRV) * np.sin(2 * np.pi * t_ecg / 20.0)
+    )
+    phase = np.cumsum(hr) / RATES['ECG']
+    frac = phase - np.floor(phase)
+    ecg = 800.0 * np.exp(-0.5 * ((frac - 0.5) / 0.02) ** 2)
+    ecg -= 120.0 * np.exp(-0.5 * ((frac - 0.56) / 0.05) ** 2)
+    ecg += 60.0 * np.sin(2 * np.pi * 0.1 * t_ecg)
+    ecg += per_sample(RATES['ECG'], STAGE_ECG_NOISE) * rng.normal(size=len(t_ecg))
+    for ep in np.flatnonzero(stages == 0)[:: max(1, n_epochs // 40)]:  # wake artifacts
+        s = int(ep * RATES['ECG'] * 30)
+        ecg[s : s + int(RATES['ECG'] * 5)] *= 5.0
+
+    t_ppg = np.arange(int(RATES['Pleth'] * 30) * n_epochs) / RATES['Pleth']
+    pulse_phase = np.cumsum(np.interp(t_ppg, t_ecg, hr)) / RATES['Pleth']
+    ppg = 0.4 * (1 + np.cos(2 * np.pi * (pulse_phase % 1.0))) * (
+        1 + 0.15 * np.sin(2 * np.pi * 0.25 * t_ppg)
+    ) + 0.02 * rng.normal(size=len(t_ppg))
+
+    t_resp = np.arange(int(RATES['ABDO RES'] * 30) * n_epochs) / RATES['ABDO RES']
+    amp = per_sample(RATES['ABDO RES'], STAGE_RESP_AMP)
+    for ep in np.flatnonzero(stages == 3)[:: max(1, n_epochs // 60)]:  # REM apneas
+        s = int(ep * RATES['ABDO RES'] * 30)
+        amp[s : s + int(RATES['ABDO RES'] * 20)] = 0.05
+    abd = amp * np.sin(2 * np.pi * 0.25 * t_resp) + 0.02 * rng.normal(size=len(t_resp))
+    thx = amp * np.sin(2 * np.pi * 0.25 * t_resp + 0.6) + 0.02 * rng.normal(size=len(t_resp))
+    signals = {'ECG': ecg, 'Pleth': ppg, 'ABDO RES': abd, 'THOR RES': thx}
+    return signals, stages
+
+
+def write_nights(folder: str, n_nights: int, hours: float, seed: int):
+    from wav2sleep_tpu.data.edf import write_edf
+
+    rng = np.random.default_rng(seed)
+    fps, labels = [], []
+    for i in range(n_nights):
+        signals, stages = synth_night(rng, hours)
+        fp = os.path.join(folder, f'night{i:03d}.edf')
+        write_edf(
+            fp,
+            signals=signals,
+            sampling_freqs=RATES,
+            units={'ECG': 'uV'},
+            physical_ranges={
+                'ECG': (-6000, 6000),
+                'Pleth': (-1, 1),
+                'ABDO RES': (-1, 1),
+                'THOR RES': (-1, 1),
+            },
+            record_duration=30.0,
+            start=datetime.datetime(2002, 3, 1, 22, 0, 0),
+        )
+        fps.append(fp)
+        labels.append(stages)
+    return fps, np.stack(labels)
+
+
+def zscore_host(x: np.ndarray) -> np.ndarray:
+    """Mirror of the pipelines' in-graph per-recording z-score (ddof=1)."""
+    mu = x.mean(axis=-1, keepdims=True)
+    std = np.sqrt(np.square(x - mu).sum(axis=-1, keepdims=True) / (x.shape[-1] - 1))
+    return (x - mu) / np.maximum(std, 1e-6)
+
+
+def compare(ref: np.ndarray, test: np.ndarray) -> dict:
+    from wav2sleep_tpu.stats import cohens_kappa
+
+    ref_pred, pred = ref.argmax(-1), test.argmax(-1)
+    agree = pred == ref_pred
+    delta = np.abs(test - ref)
+    top2 = np.sort(ref, axis=-1)
+    margin = top2[..., -1] - top2[..., -2]
+    cmat = np.histogram2d(ref_pred.ravel(), pred.ravel(), bins=(4, 4), range=((0, 4), (0, 4)))[0]
+    return {
+        'agreement': float(agree.mean()),
+        'kappa_vs_f32': float(cohens_kappa(cmat, n_classes=4)),
+        'delta_logit_mean': float(delta.mean()),
+        'delta_logit_p95': float(np.quantile(delta, 0.95)),
+        'margin_median': float(np.median(margin)),
+        'flipped_margin_median': float(np.median(margin[~agree])) if (~agree).any() else 0.0,
+    }
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument('--train-nights', type=int, default=6)
+    parser.add_argument('--eval-nights', type=int, default=8)
+    parser.add_argument('--hours', type=float, default=10.0)
+    parser.add_argument('--train-steps', type=int, default=40)
+    parser.add_argument('--feature-dim', type=int, default=128)
+    args = parser.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    jax.config.update('jax_compilation_cache_dir', os.path.join(REPO, '.cache', 'jax'))
+    jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.5)
+
+    from __graft_entry__ import _flagship_model
+    from wav2sleep_tpu.data.preprocessing import signal_target_grid
+    from wav2sleep_tpu.pipeline import (
+        NightDecoder,
+        Q8_META_DTYPE,
+        Q8NightExtractor,
+        make_streaming_forward,
+        make_streaming_forward_q8,
+    )
+    from wav2sleep_tpu.settings import COLS_TO_SAMPLES_PER_EPOCH
+    from wav2sleep_tpu.train.metrics import cross_entropy_ignore_index
+
+    signals = ['ABD', 'THX', 'ECG', 'PPG']
+    model, _ = _flagship_model(feature_dim=args.feature_dim)
+
+    tmp = tempfile.mkdtemp(prefix='w2s_q8q_')
+    print('# synthesizing corpus...', file=sys.stderr)
+    train_fps, train_y = write_nights(tmp, args.train_nights, args.hours, seed=0)
+    eval_fps, _ = write_nights(tmp, args.eval_nights, args.hours, seed=1)
+    print('# corpus written; decoding...', file=sys.stderr)
+    n_grid = {c: len(signal_target_grid(c, args.hours)) for c in signals}
+
+    decoder = NightDecoder(signals, args.hours)
+
+    def decode_all(fps):
+        buf = {c: np.empty((len(fps), n_grid[c]), np.float32) for c in signals}
+        for i, fp in enumerate(fps):
+            decoder.decode_into(fp, {c: buf[c][i] for c in signals})
+        return buf
+
+    train_f32, eval_f32 = decode_all(train_fps), decode_all(eval_fps)
+    train_z = {c: zscore_host(v) for c, v in train_f32.items()}
+
+    extractor = Q8NightExtractor(signals, args.hours)
+    B_eval = len(eval_fps)
+    q8_buf = {c: np.zeros((B_eval, n_grid[c]), np.int8) for c in signals}
+    meta = {c: np.zeros(B_eval, dtype=Q8_META_DTYPE) for c in signals}
+    for i, fp in enumerate(eval_fps):
+        extractor.extract_into(fp, q8_buf, meta, i)
+
+    def q8_args():
+        return (
+            {c: jnp.asarray(q8_buf[c]) for c in signals},
+            {c: jnp.asarray(meta[c]['a']) for c in signals},
+            {c: jnp.asarray(meta[c]['b']) for c in signals},
+            {c: jnp.asarray(meta[c]['vmax']) for c in signals},
+            {c: jnp.asarray(meta[c]['n_valid']) for c in signals},
+            {c: jnp.asarray(meta[c]['present']) for c in signals},
+        )
+
+    tiny = {k: np.zeros((1, COLS_TO_SAMPLES_PER_EPOCH[k] * 2), np.float32) for k in signals}
+    var_shapes = jax.eval_shape(lambda: model.init(jax.random.PRNGKey(0), tiny))
+
+    fwd_f32 = make_streaming_forward(model, precision='float32', output='logits')
+    fwd_q8_f32 = make_streaming_forward_q8(model, precision='float32', output='logits')
+    fwd_q8_bf16 = make_streaming_forward_q8(model, precision='bfloat16', output='logits')
+
+    # --- train briefly so logits have trained-model structure ---
+    variables = model.init(jax.random.PRNGKey(0), tiny)
+    tx = optax.adam(3e-3)
+    opt_state = tx.init(variables)
+
+    @jax.jit
+    def train_step(variables, opt_state, x, y):
+        def loss_fn(v):
+            logits = model.apply(v, x)
+            return cross_entropy_ignore_index(logits.reshape(-1, 4), y.reshape(-1))
+
+        loss, grads = jax.value_and_grad(loss_fn)(variables)
+        updates, opt_state2 = tx.update(grads, opt_state)
+        return optax.apply_updates(variables, updates), opt_state2, loss
+
+    rng = np.random.default_rng(0)
+    n_train = len(train_fps)
+    loss = float('nan')
+    t0 = __import__('time').time()
+    for step in range(args.train_steps):
+        idx = rng.choice(n_train, size=min(4, n_train), replace=False)
+        x = {c: jnp.asarray(train_z[c][idx]) for c in signals}
+        y = jnp.asarray(train_y[idx])
+        variables, opt_state, loss = train_step(variables, opt_state, x, y)
+        if step % 10 == 0 or step == args.train_steps - 1:
+            print(
+                f'# step {step} loss={float(loss):.4f} '
+                f'({__import__("time").time() - t0:.0f}s)',
+                file=sys.stderr,
+            )
+    train_acc_logits = np.asarray(
+        fwd_f32(variables, {c: jnp.asarray(train_f32[c]) for c in signals})
+    )
+    train_acc = float((train_acc_logits.argmax(-1) == train_y).mean())
+
+    epochs = int(args.eval_nights * args.hours * 120)
+    ref = np.asarray(fwd_f32(variables, {c: jnp.asarray(eval_f32[c]) for c in signals}))
+    base = {
+        'nights': args.eval_nights,
+        'epochs': epochs,
+        'train_steps': args.train_steps,
+        'final_train_loss': round(float(loss), 4),
+        'train_acc': round(train_acc, 4),
+    }
+    for name, fwd in (('float32', fwd_q8_f32), ('bfloat16', fwd_q8_bf16)):
+        test = np.asarray(fwd(variables, *q8_args()))
+        print(
+            json.dumps(
+                {
+                    'config': f'trained model: q8+{name} vs f32 lossless',
+                    **base,
+                    **{k: round(v, 5) for k, v in compare(ref, test).items()},
+                }
+            )
+        )
+
+    # --- pessimistic bound: random init, per-class bias centered out ---
+    rng = np.random.default_rng(0)
+    rand_vars = jax.tree_util.tree_map(
+        lambda sh: jnp.asarray(rng.normal(size=sh.shape, scale=0.05), jnp.float32), var_shapes
+    )
+    ref_r = np.asarray(fwd_f32(rand_vars, {c: jnp.asarray(eval_f32[c]) for c in signals}))
+    test_r = np.asarray(fwd_q8_bf16(rand_vars, *q8_args()))
+    bias = ref_r.mean(axis=(0, 1), keepdims=True)
+    print(
+        json.dumps(
+            {
+                'config': 'random-init bias-centered (pessimistic): q8+bfloat16 vs f32 lossless',
+                'nights': args.eval_nights,
+                'epochs': epochs,
+                **{k: round(v, 5) for k, v in compare(ref_r - bias, test_r - bias).items()},
+            }
+        )
+    )
+
+
+if __name__ == '__main__':
+    main()

@@ -19,7 +19,6 @@ Writes the same ``<name>.preds.csv`` format as predict.py (30 s timestamps).
 from __future__ import annotations
 
 import argparse
-import datetime
 import logging
 import os
 import sys

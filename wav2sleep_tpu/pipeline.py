@@ -104,7 +104,9 @@ class NightDecoder:
         return present
 
 
-def make_streaming_forward(model, precision: str = 'bfloat16', normalize: str | bool = 'zscore') -> Callable:
+def make_streaming_forward(
+    model, precision: str = 'bfloat16', normalize: str | bool = 'zscore', output: str = 'argmax'
+) -> Callable:
     """Jitted forward: in-graph normalization (+bf16 cast), argmax hypnogram.
 
     ``normalize='zscore'`` matches the host per-recording z-score (std
@@ -152,7 +154,10 @@ def make_streaming_forward(model, precision: str = 'bfloat16', normalize: str | 
             x = {k: causal(k, v) for k, v in x.items()}
         else:
             x = {k: v.astype(dtype) for k, v in x.items()}
-        return jnp.argmax(model.apply(variables, x), axis=-1).astype(jnp.int32)
+        logits = model.apply(variables, x)
+        if output == 'logits':
+            return logits.astype(jnp.float32)
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
 
     return forward
 
@@ -530,7 +535,7 @@ def _resample_digital_f64(dig: np.ndarray, ratio: float, m: int) -> tuple[np.nda
     return out, n_valid
 
 
-def make_streaming_forward_q16(model, precision: str = 'bfloat16') -> Callable:
+def make_streaming_forward_q16(model, precision: str = 'bfloat16', output: str = 'argmax') -> Callable:
     """Jitted forward over grid-aligned int16: affine decode, validity mask,
     z-score, model, argmax — all elementwise until the model, no gather."""
     import jax
@@ -549,7 +554,10 @@ def make_streaming_forward_q16(model, precision: str = 'bfloat16') -> Callable:
             std = jnp.sqrt(jnp.sum(jnp.square(v - mu), axis=1, keepdims=True) / (v.shape[1] - 1))
             z = ((v - mu) / jnp.maximum(std, 1e-6)).astype(dtype)
             x[col] = jnp.where(present[col][:, None], z, jnp.asarray(-jnp.inf, dtype))
-        return jnp.argmax(model.apply(variables, x), axis=-1).astype(jnp.int32)
+        logits = model.apply(variables, x)
+        if output == 'logits':
+            return logits.astype(jnp.float32)
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
 
     return forward
 
@@ -743,7 +751,7 @@ class Q8NightExtractor:
                 m[row] = (a, b, vmax, n_valid, True)
 
 
-def make_streaming_forward_q8(model, precision: str = 'bfloat16') -> Callable:
+def make_streaming_forward_q8(model, precision: str = 'bfloat16', output: str = 'argmax') -> Callable:
     """Jitted forward over mu-law int8: expand, affine, mask, z-score, model."""
     import jax
     import jax.numpy as jnp
@@ -766,7 +774,10 @@ def make_streaming_forward_q8(model, precision: str = 'bfloat16') -> Callable:
             std = jnp.sqrt(jnp.sum(jnp.square(v - mu), axis=1, keepdims=True) / (v.shape[1] - 1))
             z = ((v - mu) / jnp.maximum(std, 1e-6)).astype(dtype)
             x[col] = jnp.where(present[col][:, None], z, jnp.asarray(-jnp.inf, dtype))
-        return jnp.argmax(model.apply(variables, x), axis=-1).astype(jnp.int32)
+        logits = model.apply(variables, x)
+        if output == 'logits':
+            return logits.astype(jnp.float32)
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
 
     return forward
 

@@ -275,8 +275,10 @@ class Trainer:
                 # results (polarity flip and the -inf sentinel are exact in
                 # bf16, and the z-score already happened in f32). Cast into
                 # page-warm pooled buffers (fresh large allocations fault at
-                # ~12 MB/s on sandboxed hosts); two slots alternate so an
-                # in-flight transfer is never overwritten.
+                # ~12 MB/s on sandboxed hosts). Two alternating slots suffice
+                # ONLY because the loop below fetches metrics['cmat'] to host
+                # every step, which bounds async dispatch to one step ahead;
+                # a refactor that defers the metric fetch must grow this pool.
                 x = self._bf16_cast(x)
             self._ensure_state((x, y))
             state, metrics = self._jit_train(self.state, self._device_batch(x, y), step_rng)
