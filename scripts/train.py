@@ -26,8 +26,37 @@ sys.path.insert(0, REPO_ROOT)
 logger = logging.getLogger('train')
 
 
+def warn_if_dirty_git(repo_root: str = REPO_ROOT, debug: bool = False) -> bool:
+    """Warn when training from a dirty git tree. The reference's hydra git
+    callback refuses to launch outside debug mode (hydra/callbacks/git.yaml);
+    we warn instead of aborting so queued TPU time isn't wasted, but the run
+    is flagged as not reproducible from a commit. Returns True if dirty."""
+    import subprocess
+
+    if debug:
+        return False
+    try:
+        out = subprocess.run(
+            ['git', 'status', '--porcelain'],
+            cwd=repo_root,
+            capture_output=True,
+            text=True,
+            timeout=10,
+        )
+        dirty = out.returncode == 0 and bool(out.stdout.strip())
+    except Exception:
+        return False
+    if dirty:
+        logger.warning(
+            'Git tree is dirty — this run cannot be reproduced from a commit '
+            '(the reference refuses to launch in this state outside debug).'
+        )
+    return dirty
+
+
 def main(argv: list[str] | None = None) -> dict:
     argv = sys.argv[1:] if argv is None else argv
+    t_start = time.time()
     logging.basicConfig(level=logging.INFO, format='%(asctime)s %(name)s %(levelname)s %(message)s')
     logging.getLogger('absl').setLevel(logging.WARNING)  # quiet orbax internals
 
@@ -36,6 +65,7 @@ def main(argv: list[str] | None = None) -> dict:
 
     cfg = compose(os.path.join(REPO_ROOT, 'scripts', 'config'), 'main', argv)
     fix_seeds(cfg['seed'])
+    warn_if_dirty_git(debug=bool(cfg.get('debug', {}).get('max_nights')))
 
     import jax
 
@@ -143,6 +173,8 @@ def main(argv: list[str] | None = None) -> dict:
     export_dir = os.path.join(log_dir, 'model')
     trainer.export(export_dir, reference_compatible_config(model_cfg))
     logger.info(f'Exported deployable checkpoint to {export_dir}')
+    # Job wall time (the reference's hydra TimerCallback role, SURVEY.md §5.1).
+    logger.info(f'Job wall time: {time.time() - t_start:.1f}s')
     return final
 
 

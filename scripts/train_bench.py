@@ -1,0 +1,145 @@
+#!/usr/bin/env python
+"""Training-throughput benchmark for the canonical flagship config.
+
+Measures the full jitted train step (polarity flip + modality dropout +
+forward + backward + global-norm clip + AdamW + weight-EMA + confusion
+matrix) on full-size nights: batch B x 1,200 epochs x 4 cardio-respiratory
+modalities, feature_dim 128 — the reference's canonical run geometry
+(scripts/config/main.yaml:36-39 there; fp32 Lightning DDP is its runtime).
+
+Two numbers:
+- compute: operands staged on device once; marginal step time between K=1
+  and K=5 chained steps with a terminal scalar fetch (on remote-attached
+  TPUs `block_until_ready` can return early — only a D2H fetch synchronizes,
+  and the marginal-K method cancels the fixed dispatch/RTT overhead),
+- e2e: host-side bf16 cast + H2D transfer included each step, i.e. what
+  `Trainer.train_epoch` actually sustains on this host.
+
+MFU is derived from XLA's compiled cost analysis (FLOPs of the whole step,
+fwd+bwd+optimizer) against the v5e bf16 peak (197 TFLOP/s); a hand estimate
+is used if cost analysis is unavailable on the attached runtime.
+
+Prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+V5E_BF16_PEAK = 197e12
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument('--batch', type=int, default=4)
+    parser.add_argument('--epochs-per-night', type=int, default=1200)
+    parser.add_argument('--feature-dim', type=int, default=128)
+    parser.add_argument('--precision', default='bfloat16', choices=['float32', 'bfloat16'])
+    parser.add_argument('--k', type=int, default=5, help='chained steps for the marginal timing')
+    parser.add_argument('--reps', type=int, default=3, help='timing repetitions; median reported')
+    args = parser.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update('jax_compilation_cache_dir', os.path.join(REPO, '.cache', 'jax'))
+    jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.5)
+
+    from __graft_entry__ import _example_batch, _flagship_model
+    from wav2sleep_tpu.train.masker import SignalMasker
+    from wav2sleep_tpu.train.scheduler import exp_warmup_schedule
+    from wav2sleep_tpu.train.step import init_train_state, make_optimizer, make_train_step
+
+    model, _ = _flagship_model(feature_dim=args.feature_dim)
+    B, S = args.batch, args.epochs_per_night
+    x, y = _example_batch(B=B, S=S)
+    compute_dtype = jnp.bfloat16 if args.precision == 'bfloat16' else None
+    if compute_dtype is not None:
+        import ml_dtypes
+
+        x = {k: v.astype(ml_dtypes.bfloat16) for k, v in x.items()}
+
+    tx = make_optimizer(exp_warmup_schedule(1e-3, 2000, 10000), weight_decay=1e-4, grad_clip=1.0)
+    state = init_train_state(model, tx, x, jax.random.PRNGKey(0), ema=True)
+    masker = SignalMasker(
+        dropouts={'ABD': 0.7, 'THX': 0.7, 'ECG': 0.5, 'PPG': 0.1}, backups=['ECG', 'PPG']
+    )
+    train_step = make_train_step(
+        model,
+        tx,
+        num_classes=4,
+        masker=masker,
+        flip_polarity=True,
+        ema_decay=0.9999,
+        ema_start_step=2000,
+        compute_dtype=compute_dtype,
+    )
+    # No donation: the K-chain reuses the same initial state buffers.
+    step = jax.jit(train_step)
+    rng = jax.random.PRNGKey(1)
+
+    dev_x = jax.device_put(x)
+    dev_y = jax.device_put(y)
+    # Warmup/compile (both output paths), synced by a real fetch.
+    st, metrics = step(state, (dev_x, dev_y), rng)
+    float(metrics['loss'])
+
+    flops = None
+    try:
+        lowered = jax.jit(train_step).lower(state, (dev_x, dev_y), rng)
+        cost = lowered.compile().cost_analysis()
+        if cost:
+            flops = float((cost[0] if isinstance(cost, (list, tuple)) else cost).get('flops', 0.0)) or None
+    except Exception:
+        flops = None
+
+    def chain(k: int) -> float:
+        t0 = time.time()
+        s, m = state, None
+        for _ in range(k):
+            s, m = step(s, (dev_x, dev_y), rng)
+        float(m['loss'])  # terminal D2H fetch = the only real sync
+        return time.time() - t0
+
+    chain(1)  # page-warm
+    compute_s = float(np.median([(chain(args.k) - chain(1)) / (args.k - 1) for _ in range(args.reps)]))
+
+    # End-to-end: fresh host->device transfer each step (pooled host buffers),
+    # per-step metric fetch — the Trainer.train_epoch protocol.
+    host_x = {k: np.asarray(v) for k, v in x.items()}
+
+    def e2e_steps(k: int) -> float:
+        t0 = time.time()
+        s = state
+        for _ in range(k):
+            s, m = step(s, (jax.device_put(host_x), jax.device_put(y)), rng)
+            float(m['loss'])
+        return time.time() - t0
+
+    e2e_steps(1)
+    e2e_s = float(np.median([e2e_steps(args.k) / args.k for _ in range(args.reps)]))
+
+    out = {
+        'metric': f'train step (B={B}, S={S}, 4 modalities, fd={args.feature_dim}, {args.precision})',
+        'compute_ms_per_step': round(compute_s * 1000, 1),
+        'e2e_ms_per_step': round(e2e_s * 1000, 1),
+        'nights_per_hour_e2e': round(B / e2e_s * 3600, 1),
+        'steps_per_sec_compute': round(1.0 / compute_s, 3),
+    }
+    if flops:
+        out['step_tflops'] = round(flops / 1e12, 2)
+        out['mfu_vs_v5e_bf16_peak'] = round(flops / compute_s / V5E_BF16_PEAK, 4)
+    print(json.dumps(out))
+
+
+if __name__ == '__main__':
+    main()

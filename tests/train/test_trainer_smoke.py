@@ -234,10 +234,11 @@ def test_trainer_predict(corpus, tmp_path):
     assert out['preds_ECG'].shape == out['preds'].shape
 
 
-def test_train_cli_multirun(corpus, tmp_path, monkeypatch):
+def test_train_cli_multirun(corpus, tmp_path, monkeypatch, caplog):
     """scripts/train.py end-to-end through run(): a -m sweep of two LRs on
     the synthetic corpus, each run exporting a deployable checkpoint."""
     import importlib.util
+    import logging
 
     repo = os.path.join(os.path.dirname(__file__), '..', '..')
     spec = importlib.util.spec_from_file_location('train_cli', os.path.join(repo, 'scripts', 'train.py'))
@@ -245,6 +246,7 @@ def test_train_cli_multirun(corpus, tmp_path, monkeypatch):
     spec.loader.exec_module(mod)
     monkeypatch.setenv('WAV2SLEEP_DATA', str(corpus))
     monkeypatch.setenv('WAV2SLEEP_STORAGE', str(tmp_path))
+    caplog.set_level(logging.INFO, logger='train')
     results = mod.run([
         '-m',
         'name=cli_sweep',
@@ -271,6 +273,8 @@ def test_train_cli_multirun(corpus, tmp_path, monkeypatch):
     assert len(run_dirs) == 2
     for d in run_dirs:
         assert os.path.exists(os.path.join(d, 'config.yaml'))
+    # Wall-time line per run (reference hydra TimerCallback role).
+    assert sum('Job wall time' in r.message for r in caplog.records) == 2
 
 
 def test_eval_matrix_one_pass(corpus, tmp_path, monkeypatch):

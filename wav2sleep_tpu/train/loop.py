@@ -90,6 +90,15 @@ class MetricsLogger:
                 import mlflow
 
                 self._mlflow = mlflow
+                from ..utils import is_rank_zero
+
+                if is_rank_zero():
+                    try:
+                        # CPU/accelerator utilization sampling (the reference
+                        # enables this at run start, scripts/train.py:28-29).
+                        mlflow.enable_system_metrics_logging()
+                    except Exception as e:
+                        logger.debug(f'mlflow system metrics unavailable: {e}')
         except ImportError:
             pass
 
