@@ -5,14 +5,18 @@ Measures the full inference pipeline on the flagship wav2sleep model
 streaming path (default q8): the host fuses EDF decode + resample onto the
 model grid in the digital domain (C++ kernel) and ships mu-law int8 codes;
 the device expands, applies the digital->physical affine, z-scores and runs
-the batched bf16 forward in one jitted graph. mu-law int8 transport is
-standard biosignal companding: ~1.3% rms reconstruction error, the same
-order as the bf16 compute noise already accepted downstream (hypnogram
-flips occur only at near-tie logit margins; see tests/test_pipeline.py).
-Lossless transports are selectable (--pipeline q16/raw/f32) and remain the
-default for the library's predict_on_folder API path.
+the batched bf16 forward in one jitted graph. Source EDFs default to
+NSRR-realistic OFF-GRID rates (ECG 125 Hz / PPG 256 Hz / resp 10 Hz) so the
+real lerp path is what gets timed (--source-rates grid for the identity
+fast path). q8 quality is measured end-to-end by scripts/q8_quality.py:
+98.6% hypnogram agreement / kappa 0.977 vs the lossless f32 path and a
+-0.17% end-task accuracy delta, flips confined to near-tie decision
+margins. Lossless transports are selectable
+(--pipeline q16/raw/f32) and remain the default for the library's
+predict_on_folder API path.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: metric/value/unit/vs_baseline plus the pipeline,
+source-rate regime, precision and every pass time (value = median pass).
 Baseline: 5,000 recordings/hour on a v5e-8 => 625 recordings/hour/chip
 (BASELINE.md).
 """

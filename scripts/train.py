@@ -147,6 +147,7 @@ def main(argv: list[str] | None = None) -> dict:
         flip_polarity=tcfg['flip_polarity'],
         ema_decay=tcfg['ema']['decay'] if tcfg['ema']['enabled'] else None,
         ema_start_step=tcfg['ema']['start_step'],
+        ema_offload=tcfg['ema'].get('offload', False),
         early_stopping_patience=tcfg['early_stopping_patience'],
         reset_early_stopping=tcfg['reset_early_stopping'],
         precision=cfg['precision'],

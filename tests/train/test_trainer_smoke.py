@@ -360,6 +360,34 @@ def test_set_lr_scale_is_functional(corpus, tmp_path):
     assert get_scale(t2.state.opt_state) == 0.25
 
 
+def test_ema_offload_matches_in_graph(corpus, tmp_path):
+    """CPU-offloaded EMA (reference EMACallback offload_to_cpu role) produces
+    the same averaged weights as the in-graph EMA, and survives a checkpoint
+    round-trip."""
+    import jax
+
+    kw = dict(epochs=1, ema_decay=0.9, ema_start_step=0, masker=None, flip_polarity=False)
+    t_graph = make_trainer(corpus, tmp_path / 'ema_graph', **kw)
+    t_graph.fit()
+    t_off = make_trainer(corpus, tmp_path / 'ema_off', ema_offload=True, **kw)
+    t_off.fit()
+    assert t_off.state.ema_params is None and t_off._host_ema is not None
+    graph_ema = jax.device_get(t_graph.state.ema_params)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(a, b, atol=1e-6, rtol=1e-5),
+        graph_ema,
+        t_off._host_ema,
+    )
+    # Round-trip: a fresh trainer restores the offloaded EMA for eval.
+    t2 = make_trainer(corpus, tmp_path / 'ema_off', ema_offload=True, **kw)
+    t2.restore('last')
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(a, b, atol=0, rtol=0),
+        t2._host_ema,
+        t_off._host_ema,
+    )
+
+
 def test_fit_bfloat16_precision(corpus, tmp_path):
     """Mixed-precision training (bf16 compute, host-cast bf16 batches) runs
     and produces finite losses and a usable confusion matrix."""

@@ -37,6 +37,8 @@ class CheckpointManager:
             'state': jax.device_get(trainer.state),
             'rng': jax.device_get(trainer.rng),
         }
+        if getattr(trainer, '_host_ema', None) is not None:
+            tree['host_ema'] = trainer._host_ema
         meta = {
             'epoch': epoch,
             'val_loss': float(val_loss) if np.isfinite(val_loss) else None,
@@ -74,9 +76,13 @@ class CheckpointManager:
             example = next(iter(loader))
             trainer._ensure_state(example)
         template = {'state': jax.device_get(trainer.state), 'rng': jax.device_get(trainer.rng)}
+        if getattr(trainer, '_host_ema', None) is not None:
+            template['host_ema'] = trainer._host_ema
         restored = self._ckptr.restore(path, template)
         trainer.state = restored['state']
         trainer.rng = restored['rng']
+        if 'host_ema' in restored:
+            trainer._host_ema = restored['host_ema']
         epoch = 0
         if os.path.exists(meta_path):
             with open(meta_path) as f:

@@ -152,6 +152,10 @@ class Trainer:
     ema_decay: Optional[float] = None
     ema_start_step: int = 2000
     eval_with_ema: bool = True
+    # Keep the EMA copy in host RAM instead of device HBM (the reference
+    # EMACallback's offload_to_cpu option, trainer/callbacks.py:27-29):
+    # trades a per-step D2H fetch for one parameter-sized HBM buffer.
+    ema_offload: bool = False
     # Early stopping
     early_stopping_patience: int = 5
     reset_early_stopping: bool = False
@@ -191,13 +195,14 @@ class Trainer:
             flip_polarity=self.flip_polarity,
             family=self.family,
             label_smoothing=self.label_smoothing,
-            ema_decay=self.ema_decay,
+            ema_decay=None if self.ema_offload else self.ema_decay,
             ema_start_step=self.ema_start_step,
             compute_dtype=jnp.bfloat16 if self.precision == 'bfloat16' else None,
         )
         self._eval_step = make_eval_step(self.model, self.num_classes, family=self.family)
         self._jit_train = None
         self._jit_eval = None
+        self._host_ema = None  # CPU-offloaded EMA pytree (ema_offload=True)
         self.rng = jax.random.PRNGKey(self.seed)
 
     # ------------------------------------------------------------------
@@ -211,8 +216,10 @@ class Trainer:
                 x,
                 init_rng,
                 family=self.family,
-                ema=self.ema_decay is not None,
+                ema=self.ema_decay is not None and not self.ema_offload,
             )
+            if self.ema_decay is not None and self.ema_offload and self._host_ema is None:
+                self._host_ema = jax.device_get(self.state.params)
             n_params = sum(x.size for x in jax.tree_util.tree_leaves(self.state.params))
             logger.info(f'Initialized model with {n_params:,} parameters.')
         if self._jit_train is None:
@@ -292,6 +299,8 @@ class Trainer:
             self._ensure_state((x, y))
             state, metrics = self._jit_train(self.state, self._device_batch(x, y), step_rng)
             self.state = state
+            if self._host_ema is not None:
+                self._update_host_ema()
             losses.append(metrics['loss'])
             cmat += np.asarray(metrics['cmat'], np.int64)
             n += 1
@@ -310,9 +319,25 @@ class Trainer:
         self.metrics_logger.log_confusion(cmat, epoch, prefix=f'{TRAIN}_all')
         return out
 
+    def _update_host_ema(self) -> None:
+        """CPU-offloaded mirror of the in-graph EMA update (same semantics:
+        frozen at the init copy until ema_start_step, then exponential)."""
+        step_before = int(self.state.step) - 1
+        if step_before < self.ema_start_step:
+            return
+        params = jax.device_get(self.state.params)
+        d = self.ema_decay
+        self._host_ema = jax.tree_util.tree_map(
+            lambda e, p: d * e + (1.0 - d) * p, self._host_ema, params
+        )
+
     # ------------------------------------------------------------------
     def _eval_params(self):
-        if self.ema_decay is not None and self.eval_with_ema and self.state.ema_params is not None:
+        if self.ema_decay is None or not self.eval_with_ema:
+            return self.state.params
+        if self._host_ema is not None:
+            return self._host_ema
+        if self.state.ema_params is not None:
             return self.state.ema_params
         return self.state.params
 
