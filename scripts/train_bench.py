@@ -113,15 +113,21 @@ def main() -> None:
     chain(1)  # page-warm
     compute_s = float(np.median([(chain(args.k) - chain(1)) / (args.k - 1) for _ in range(args.reps)]))
 
-    # End-to-end: fresh host->device transfer each step (pooled host buffers),
-    # per-step metric fetch — the Trainer.train_epoch protocol.
-    host_x = {k: np.asarray(v) for k, v in x.items()}
+    # End-to-end: fresh host->device transfer each step (two pooled host
+    # slots), per-step metric fetch — the Trainer.train_epoch protocol,
+    # which software-pipelines the transfer of batch n+1 under step n's
+    # compute (stage, dispatch, stage-next, fetch).
+    slots = [{k: np.asarray(v).copy() for k, v in x.items()} for _ in range(2)]
+    host_y = np.asarray(y)
 
     def e2e_steps(k: int) -> float:
         t0 = time.time()
         s = state
-        for _ in range(k):
-            s, m = step(s, (jax.device_put(host_x), jax.device_put(y)), rng)
+        dev = (jax.device_put(slots[0]), jax.device_put(host_y))
+        for i in range(k):
+            s, m = step(s, dev, rng)
+            if i + 1 < k:
+                dev = (jax.device_put(slots[(i + 1) % 2]), jax.device_put(host_y))
             float(m['loss'])
         return time.time() - t0
 

@@ -23,8 +23,10 @@ logger = logging.getLogger(__name__)
 
 class CheckpointManager:
     def __init__(self, root: str):
-        self.root = root
-        os.makedirs(root, exist_ok=True)
+        # Orbax/tensorstore requires absolute paths; configs commonly pass a
+        # relative log_dir (e.g. ``runs/<name>``).
+        self.root = os.path.abspath(root)
+        os.makedirs(self.root, exist_ok=True)
         import orbax.checkpoint as ocp
 
         self._ckptr = ocp.StandardCheckpointer()
@@ -65,7 +67,9 @@ class CheckpointManager:
 
     def restore(self, trainer, which: str = 'last') -> int:
         """Restore into ``trainer``; returns the epoch to resume from."""
-        path = which if os.path.isabs(which) and os.path.exists(which) else os.path.join(self.root, which)
+        # ``which`` may be a bare name ('last'/'best') under self.root, or a
+        # filesystem path (absolute or cwd-relative) to a checkpoint dir.
+        path = os.path.abspath(which) if os.path.exists(which) else os.path.join(self.root, which)
         meta_path = path + '.meta.json'
         if not os.path.exists(path):
             raise FileNotFoundError(f'No checkpoint at {path}')

