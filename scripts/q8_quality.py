@@ -160,6 +160,14 @@ def main() -> None:
     parser.add_argument('--hours', type=float, default=6.0)
     parser.add_argument('--train-steps', type=int, default=120)
     parser.add_argument('--feature-dim', type=int, default=128)
+    parser.add_argument(
+        '--train-transport',
+        default='lossless',
+        choices=['lossless', 'q8'],
+        help='quantize the TRAINING inputs through the mu-law int8 training '
+        'transport (ops/q8_transport.py) before the training loop, to A/B '
+        'the end-task cost of input_transport=q8 (same seeds/rng either way)',
+    )
     args = parser.parse_args()
 
     import jax
@@ -201,6 +209,15 @@ def main() -> None:
 
     train_f32, eval_f32 = decode_all(train_fps), decode_all(eval_fps)
     train_z = {c: zscore_host(v) for c, v in train_f32.items()}
+    if args.train_transport == 'q8':
+        # Round-trip the training inputs through the mu-law int8 training
+        # transport: the model only ever sees quantized inputs, exactly as
+        # under Trainer(input_transport='q8').
+        from wav2sleep_tpu.ops.q8_transport import dequant_batch, encode_batch
+
+        train_z = {
+            c: np.asarray(v) for c, v in dequant_batch(encode_batch(train_z)).items()
+        }
 
     extractor = Q8NightExtractor(signals, args.hours)
     B_eval = len(eval_fps)
@@ -293,6 +310,7 @@ def main() -> None:
     base = {
         'nights': args.eval_nights,
         'epochs': epochs,
+        'train_transport': args.train_transport,
         'train_steps': args.train_steps,
         'selected_step': best['step'],
         'eval_loss': round(best['loss'], 4),

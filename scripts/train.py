@@ -151,6 +151,7 @@ def main(argv: list[str] | None = None) -> dict:
         early_stopping_patience=tcfg['early_stopping_patience'],
         reset_early_stopping=tcfg['reset_early_stopping'],
         precision=cfg['precision'],
+        input_transport=cfg.get('input_transport'),
         seed=cfg['seed'],
         log_dir=log_dir,
         mesh=mesh,

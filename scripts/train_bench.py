@@ -44,6 +44,13 @@ def main() -> None:
     parser.add_argument('--epochs-per-night', type=int, default=1200)
     parser.add_argument('--feature-dim', type=int, default=128)
     parser.add_argument('--precision', default='bfloat16', choices=['float32', 'bfloat16'])
+    parser.add_argument(
+        '--transport',
+        default='lossless',
+        choices=['lossless', 'q8'],
+        help='training input transport: lossless ships signals at compute '
+        'precision; q8 ships mu-law int8 codes decoded on device',
+    )
     parser.add_argument('--k', type=int, default=5, help='chained steps for the marginal timing')
     parser.add_argument('--reps', type=int, default=3, help='timing repetitions; median reported')
     args = parser.parse_args()
@@ -61,9 +68,14 @@ def main() -> None:
 
     model, _ = _flagship_model(feature_dim=args.feature_dim)
     B, S = args.batch, args.epochs_per_night
-    x, y = _example_batch(B=B, S=S)
+    raw_x, y = _example_batch(B=B, S=S)
+    x = raw_x
     compute_dtype = jnp.bfloat16 if args.precision == 'bfloat16' else None
-    if compute_dtype is not None:
+    if args.transport == 'q8':
+        from wav2sleep_tpu.ops.q8_transport import encode_batch
+
+        x = encode_batch(raw_x)
+    elif compute_dtype is not None:
         import ml_dtypes
 
         x = {k: v.astype(ml_dtypes.bfloat16) for k, v in x.items()}
@@ -113,21 +125,42 @@ def main() -> None:
     chain(1)  # page-warm
     compute_s = float(np.median([(chain(args.k) - chain(1)) / (args.k - 1) for _ in range(args.reps)]))
 
-    # End-to-end: fresh host->device transfer each step (two pooled host
-    # slots), per-step metric fetch — the Trainer.train_epoch protocol,
-    # which software-pipelines the transfer of batch n+1 under step n's
-    # compute (stage, dispatch, stage-next, fetch).
-    slots = [{k: np.asarray(v).copy() for k, v in x.items()} for _ in range(2)]
+    # End-to-end: per-step host staging (bf16 cast or q8 encode into two
+    # pooled slots) + H2D transfer + per-step metric fetch — the
+    # Trainer.train_epoch protocol, which software-pipelines batch n+1's
+    # staging/transfer under step n's compute (stage, dispatch, stage-next,
+    # fetch).
     host_y = np.asarray(y)
+    if args.transport == 'q8':
+        from wav2sleep_tpu.ops.q8_transport import encode_batch
+
+        pools = [{}, {}]
+
+        def stage(i: int):
+            return encode_batch(raw_x, slot=pools[i % 2])
+
+    else:
+        # Cast each step from the loader-dtype (f32) source into pooled
+        # compute-dtype slots, exactly like Trainer._stage_batch.
+        slots = [
+            {k: np.empty(v.shape, np.asarray(x[k]).dtype) for k, v in raw_x.items()}
+            for _ in range(2)
+        ]
+
+        def stage(i: int):
+            dst = slots[i % 2]
+            for k_, v in raw_x.items():
+                np.copyto(dst[k_], v, casting='same_kind')
+            return dst
 
     def e2e_steps(k: int) -> float:
         t0 = time.time()
         s = state
-        dev = (jax.device_put(slots[0]), jax.device_put(host_y))
+        dev = (jax.device_put(stage(0)), jax.device_put(host_y))
         for i in range(k):
             s, m = step(s, dev, rng)
             if i + 1 < k:
-                dev = (jax.device_put(slots[(i + 1) % 2]), jax.device_put(host_y))
+                dev = (jax.device_put(stage(i + 1)), jax.device_put(host_y))
             float(m['loss'])
         return time.time() - t0
 
@@ -135,7 +168,10 @@ def main() -> None:
     e2e_s = float(np.median([e2e_steps(args.k) / args.k for _ in range(args.reps)]))
 
     out = {
-        'metric': f'train step (B={B}, S={S}, 4 modalities, fd={args.feature_dim}, {args.precision})',
+        'metric': (
+            f'train step (B={B}, S={S}, 4 modalities, fd={args.feature_dim}, '
+            f'{args.precision}, transport={args.transport})'
+        ),
         'compute_ms_per_step': round(compute_s * 1000, 1),
         'e2e_ms_per_step': round(e2e_s * 1000, 1),
         'nights_per_hour_e2e': round(B / e2e_s * 3600, 1),

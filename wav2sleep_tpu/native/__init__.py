@@ -119,3 +119,8 @@ def _configure(lib: ctypes.CDLL) -> None:
         c_double, c_double, c_i64, i8, ctypes.POINTER(ctypes.c_double),
     ]
     lib.w2s_resample_q8.restype = c_i64
+
+    lib.w2s_mulaw8_encode_f32.argtypes = [
+        f32, c_i64, i8, ctypes.POINTER(ctypes.c_float),
+    ]
+    lib.w2s_mulaw8_encode_f32.restype = ctypes.c_int32

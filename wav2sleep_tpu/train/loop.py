@@ -161,6 +161,12 @@ class Trainer:
     reset_early_stopping: bool = False
     # Infra
     precision: str = 'float32'  # 'float32' | 'bfloat16' (mixed: f32 master params)
+    # Training INPUT transport: None ships signals at compute precision
+    # (f32, or bf16 under mixed precision); 'q8' ships mu-law int8 codes +
+    # per-(night,signal) peaks and reconstructs inside the jitted step
+    # (ops/q8_transport.py) — half the H2D bytes of bf16, for hosts where
+    # the step is transfer-bound. Eval/predict stay lossless either way.
+    input_transport: Optional[str] = None
     seed: int = 42
     log_dir: str = 'runs/default'
     mesh: Any = None
@@ -279,10 +285,22 @@ class Trainer:
         return tqdm(it, desc=desc, smoothing=0.7, leave=False)
 
     def _stage_batch(self, x, y):
-        """Host-side staging: optional bf16 cast into a pooled slot, then an
-        (async) H2D transfer. Called one batch AHEAD of the step consuming
-        it, so the transfer overlaps the in-flight step's device compute."""
-        if self.precision == 'bfloat16':
+        """Host-side staging: optional bf16 cast / q8 encode into a pooled
+        slot, then an (async) H2D transfer. Called one batch AHEAD of the
+        step consuming it, so the transfer overlaps the in-flight step's
+        device compute."""
+        if self.input_transport == 'q8':
+            # Pooled two-slot encode; slot reuse is safe for the same reason
+            # as the bf16 pool below (per-step metric fetch).
+            from ..ops.q8_transport import encode_batch
+
+            pool = getattr(self, '_q8_pool', None)
+            if pool is None:
+                pool = self._q8_pool = [{}, {}]
+                self._q8_slot = 0
+            x = encode_batch(x, slot=pool[self._q8_slot])
+            self._q8_slot = 1 - self._q8_slot
+        elif self.precision == 'bfloat16':
             # The train step casts inputs to bf16 anyway (mixed precision);
             # casting on the host first halves H2D bytes with bit-identical
             # results (polarity flip and the -inf sentinel are exact in
@@ -484,16 +502,17 @@ class Trainer:
         want_ecg_thx = want_ecg and THX in cols
         for x, y in loader:
             outputs['labels'].append(np.asarray(y))
-            out = self._jit_eval(params, self.state.batch_stats, self._device_batch(x, y), None)
+            batch = self._device_batch(x, y)  # one transfer, all variants
+            out = self._jit_eval(params, self.state.batch_stats, batch, None)
             outputs['preds'].append(np.asarray(out['preds']))
             B = y.shape[0]
             if want_ecg:
                 present = {k: np.full((B,), k == ECG, bool) for k in x}
-                out = self._jit_eval(params, self.state.batch_stats, self._device_batch(x, y), present)
+                out = self._jit_eval(params, self.state.batch_stats, batch, present)
                 outputs.setdefault(f'preds_{ECG}', []).append(np.asarray(out['preds']))
             if want_ecg_thx:
                 present = {k: np.full((B,), k in (ECG, THX), bool) for k in x}
-                out = self._jit_eval(params, self.state.batch_stats, self._device_batch(x, y), present)
+                out = self._jit_eval(params, self.state.batch_stats, batch, present)
                 outputs.setdefault(f'preds_{ECG}_{THX}', []).append(np.asarray(out['preds']))
         return {k: np.concatenate(v, axis=0) for k, v in outputs.items()}
 

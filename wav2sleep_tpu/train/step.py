@@ -21,6 +21,9 @@ import jax.numpy as jnp
 import optax
 from jax.sharding import NamedSharding, PartitionSpec as P
 
+import numpy as np
+
+from ..ops.q8_transport import dequant_batch, is_encoded_batch
 from ..parallel.mesh import DATA_AXIS
 from .masker import SignalMasker, invert_signals
 from .metrics import confusion_matrix, cross_entropy_ignore_index
@@ -84,7 +87,12 @@ def init_train_state(
     family: str = 'wav2sleep',
     ema: bool = False,
 ) -> TrainState:
-    x = _model_input(example_batch, family)
+    x = example_batch
+    if is_encoded_batch(x):
+        # q8-transport example: init from a plain f32 example of the same
+        # shapes (codes are [B, T], same geometry as the raw signal).
+        x = {k: np.zeros(v[0].shape, np.float32) for k, v in x.items()}
+    x = _model_input(x, family)
     if family != 'ppgnet':
         # Parameters are independent of batch/sequence length: initialize on
         # a 1-night, 2-epoch example so init doesn't compile a full-size
@@ -137,6 +145,12 @@ def make_train_step(
 
     def train_step(state: TrainState, batch, rng: jax.Array):
         x, y = batch
+        if is_encoded_batch(x):
+            # mu-law int8 input transport: reconstruct the f32 signals (and
+            # the -inf missing-modality sentinel) on device, BEFORE the
+            # augmentations — mu-law is odd-symmetric, so polarity flipping
+            # the decode equals flipping before encode.
+            x = dequant_batch(x)
         rng = jax.random.fold_in(rng, state.step)
         rng_flip, rng_mask, rng_drop = jax.random.split(rng, 3)
         if flip_polarity:
