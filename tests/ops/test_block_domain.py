@@ -1,0 +1,111 @@
+"""Block-domain encoder fast path (ops/block_domain.py + the dispatch in
+models/layers.py): the full SignalEncoder forward through the blocked
+Pallas path must match the standard channels-last path on the SAME params.
+Runs on CPU with the Pallas interpreter and a forced-on block path."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from wav2sleep_tpu.models.wav2sleep import SignalEncoder
+from wav2sleep_tpu.ops import block_domain as bd
+from wav2sleep_tpu.ops import pallas_conv
+
+pallas_conv._INTERPRET = True
+
+
+@pytest.fixture
+def forced_block_path(monkeypatch):
+    monkeypatch.setattr(bd, 'FORCE_BLOCK_PATH', True)
+    monkeypatch.setattr(bd, 'MIN_PROMOTE_LENGTH', 256)
+    yield
+    # monkeypatch restores
+
+
+def _encoder(spe):
+    return SignalEncoder(
+        feature_dim=32,
+        samples_per_epoch=spe,
+        activation='gelu',
+        norm='instance',
+        initial_channels=16,
+        max_channels=128,
+        causal=False,
+        chunk_causal=False,
+        output_norm=False,
+        use_residual=True,
+    )
+
+
+@pytest.mark.parametrize('spe,S', [(1024, 4), (256, 8)])
+def test_encoder_block_path_matches_standard(forced_block_path, spe, S):
+    enc = _encoder(spe)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(2, spe * S)), jnp.float32)
+    params = enc.init(jax.random.PRNGKey(0), x)
+
+    y_fast = enc.apply(params, x)
+    bd.FORCE_BLOCK_PATH = False
+    try:
+        y_ref = enc.apply(params, x)
+    finally:
+        bd.FORCE_BLOCK_PATH = True
+    assert y_fast.shape == y_ref.shape
+    np.testing.assert_allclose(np.asarray(y_fast), np.asarray(y_ref), atol=2e-4, rtol=2e-3)
+
+
+def test_encoder_block_path_grads_match(forced_block_path):
+    enc = _encoder(256)
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(1, 256 * 4)), jnp.float32)
+    params = enc.init(jax.random.PRNGKey(0), x)
+
+    def loss(p, xx):
+        return jnp.sum(jnp.square(enc.apply(p, xx)))
+
+    g_fast = jax.grad(loss)(params, x)
+    bd.FORCE_BLOCK_PATH = False
+    try:
+        g_ref = jax.grad(loss)(params, x)
+    finally:
+        bd.FORCE_BLOCK_PATH = True
+    flat_fast = jax.tree_util.tree_leaves(g_fast)
+    flat_ref = jax.tree_util.tree_leaves(g_ref)
+    assert len(flat_fast) == len(flat_ref)
+    for a, b in zip(flat_fast, flat_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-2, rtol=3e-3)
+
+
+def test_param_tree_identical_between_paths(forced_block_path):
+    """The block path must not change the parameter tree (checkpoint
+    compatibility with the torch converter)."""
+    enc = _encoder(256)
+    x = jnp.zeros((1, 256 * 4), jnp.float32)
+    p_fast = enc.init(jax.random.PRNGKey(0), x)
+    bd.FORCE_BLOCK_PATH = False
+    try:
+        p_ref = enc.init(jax.random.PRNGKey(0), x)
+    finally:
+        bd.FORCE_BLOCK_PATH = True
+    t1 = jax.tree_util.tree_structure(p_fast)
+    t2 = jax.tree_util.tree_structure(p_ref)
+    assert t1 == t2
+    for a, b in zip(jax.tree_util.tree_leaves(p_fast), jax.tree_util.tree_leaves(p_ref)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_pack_roundtrip_and_norm():
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.normal(size=(2, 4096, 32)), jnp.float32)
+    xb = bd.to_blocks(x)
+    assert xb.data.shape == (2, 1024, 128)
+    np.testing.assert_array_equal(np.asarray(bd.from_blocks(xb)), np.asarray(x))
+    # Blocked instance norm == per-(batch, channel) time-axis norm.
+    yb = bd.instance_norm_blocks(xb, eps=1e-2)
+    y = np.asarray(bd.from_blocks(yb))
+    mu = x.mean(axis=1, keepdims=True)
+    var = jnp.square(x - mu).mean(axis=1, keepdims=True)
+    want = np.asarray((x - mu) / jnp.sqrt(var + 1e-2))
+    np.testing.assert_allclose(y, want, atol=1e-5, rtol=1e-5)

@@ -21,6 +21,9 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from ..ops import block_domain as bd
+from ..ops import pallas_conv
+from ..ops.block_domain import BlockedArray, bmap, from_blocks, to_blocks
 from .activations import get_activation
 from .norms import BatchNorm, get_norm
 
@@ -95,10 +98,43 @@ class Conv1D(nn.Module):
     groups: int = 1
     use_bias: bool = True
     weight_norm: bool = False
+    # Encoder fast path (docs/design.md "block-domain encoders"): when set
+    # and the backend/shape allow, activations travel as dense-lane
+    # BlockedArrays and k3/k1 convs run the Pallas space-to-depth kernel.
+    block_domain: bool = False
+
+    def _conv_blocked(self, xb: BlockedArray, kernel, bias):
+        """Block-domain conv via the Pallas sd kernel (k=3) or an embedded
+        matmul (k=1 stride-2 residual downsample); None if unsupported."""
+        if self.dilation != 1 or self.groups != 1:
+            return None
+        Ci, Co = xb.channels, self.features
+        nb = xb.data.shape[1]
+        if (
+            self.kernel_size == 3
+            and self.padding == (1, 1)
+            and pallas_conv.blocks_supported(nb, Ci, Co, self.stride)
+        ):
+            b = bias if bias is not None else jnp.zeros((Co,), kernel.dtype)
+            data = pallas_conv.sd_conv_blocks(xb.data, kernel, b, Ci, Co, self.stride)
+            return BlockedArray(data=data, channels=Co)
+        if (
+            self.kernel_size == 1
+            and self.stride == 2
+            and self.padding == (0, 0)
+            and Co in (16, 32, 64, 128)
+            and (nb * 128) % (2 * (128 // Co) * Ci) == 0
+        ):
+            data = pallas_conv.ds_1x1_s2_blocks(xb.data, kernel.astype(xb.data.dtype), Ci, Co)
+            if bias is not None:
+                data = data + jnp.tile(bias, 128 // Co).astype(data.dtype)
+            return BlockedArray(data=data, channels=Co)
+        return None
 
     @nn.compact
-    def __call__(self, x_NTC: jnp.ndarray) -> jnp.ndarray:
-        in_features = x_NTC.shape[-1]
+    def __call__(self, x_NTC) -> jnp.ndarray:
+        blocked_in = isinstance(x_NTC, BlockedArray)
+        in_features = x_NTC.channels if blocked_in else x_NTC.shape[-1]
         kshape = (self.kernel_size, in_features // self.groups, self.features)
         if self.weight_norm:
             # torch weight_norm(dim=0): per-output-channel direction/magnitude.
@@ -108,6 +144,12 @@ class Conv1D(nn.Module):
             kernel = v / norm * g[None, None, :]
         else:
             kernel = self.param('kernel', conv_kernel_init, kshape)
+        bias = self.param('bias', nn.initializers.zeros, (self.features,)) if self.use_bias else None
+        if blocked_in:
+            yb = self._conv_blocked(x_NTC, kernel, bias)
+            if yb is not None:
+                return yb
+            x_NTC = from_blocks(x_NTC)  # unsupported config: demote
         y = None
         if self.dilation == 1 and self.groups == 1:
             y = _conv_mxu_friendly(x_NTC, kernel.astype(x_NTC.dtype), self.stride, self.padding)
@@ -121,9 +163,18 @@ class Conv1D(nn.Module):
                 feature_group_count=self.groups,
                 dimension_numbers=('NHC', 'HIO', 'NHC'),
             )
-        if self.use_bias:
-            bias = self.param('bias', nn.initializers.zeros, (self.features,))
+        if bias is not None:
             y = y + bias.astype(y.dtype)
+        if (
+            self.block_domain
+            and not blocked_in
+            and bd.block_path_enabled()
+            and bd.packable(y.shape[1], y.shape[2])
+            and y.shape[1] >= bd.MIN_PROMOTE_LENGTH
+        ):
+            # One-time promotion into the dense-lane block domain; every
+            # downstream conv/norm/activation stays there.
+            return to_blocks(y)
         return y
 
 
@@ -142,9 +193,10 @@ class ConvLayer1D(nn.Module):
     use_bias: bool = False
     norm: str | None = 'batch'
     norm_eps: float | None = None
+    block_domain: bool = False
 
     @nn.compact
-    def __call__(self, x_NTC: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+    def __call__(self, x_NTC, train: bool = False) -> jnp.ndarray:
         if self.causal:
             pad = (self.kernel_size - 1) * self.dilation
         else:
@@ -158,23 +210,31 @@ class ConvLayer1D(nn.Module):
             groups=self.groups,
             use_bias=self.use_bias or self.norm is None,
             weight_norm=self.norm == 'weight',
+            block_domain=self.block_domain and not self.causal,
             name='conv',
         )
         out = conv(x_NTC)
+        if isinstance(out, BlockedArray) and self.norm not in ('instance', None, 'weight'):
+            out = from_blocks(out)  # only instance norm has a block-domain form
         if self.causal and pad > 0:
             right_trim = max(pad - (self.stride - 1), 0)
             if right_trim > 0:
                 out = out[:, : out.shape[1] - right_trim, :]
-        if self.norm != 'weight':
+        if isinstance(out, BlockedArray):
+            if self.norm == 'instance':
+                eps = self.norm_eps if self.norm_eps is not None else 1e-5
+                out = bd.instance_norm_blocks(out, eps)
+        elif self.norm != 'weight':
             norm = get_norm(self.norm, num_features=self.features, norm_eps=self.norm_eps, module_name='norm')
             if norm is not None:
                 if isinstance(norm, BatchNorm):
                     out = norm(out, use_running_average=not train)
                 else:
                     out = norm(out)
-        out = get_activation(self.activation)(out)
+        out = bmap(get_activation(self.activation), out)
         if self.dropout > 0.0:
-            out = nn.Dropout(rate=self.dropout, name='drop')(out, deterministic=not train)
+            drop = nn.Dropout(rate=self.dropout, name='drop')
+            out = bmap(lambda a: drop(a, deterministic=not train), out)
         return out
 
 
@@ -189,9 +249,10 @@ class ConvBlock1D(nn.Module):
     causal: bool = False
     norm_eps: float | None = None
     use_residual: bool = True
+    block_domain: bool = False
 
     @nn.compact
-    def __call__(self, x_NTC: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+    def __call__(self, x_NTC, train: bool = False) -> jnp.ndarray:
         def make(name: str, stride: int = 1) -> ConvLayer1D:
             return ConvLayer1D(
                 features=self.features,
@@ -203,6 +264,7 @@ class ConvBlock1D(nn.Module):
                 dropout=self.dropout,
                 causal=self.causal,
                 norm_eps=self.norm_eps,
+                block_domain=self.block_domain,
                 name=name,
             )
 
@@ -216,10 +278,22 @@ class ConvBlock1D(nn.Module):
                 stride=2,
                 padding=(0, 0),
                 use_bias=False,
+                block_domain=self.block_domain,
                 name='downsample',
             )(x_NTC)
-            out = out + res
-        return get_activation(self.activation)(out)
+            out_b, res_b = isinstance(out, BlockedArray), isinstance(res, BlockedArray)
+            if out_b and not res_b:
+                if bd.packable(res.shape[1], res.shape[2]) and res.shape[2] == out.channels:
+                    res = to_blocks(res)  # align the residual with the main path
+                else:
+                    out, out_b = from_blocks(out), False
+            elif res_b and not out_b:
+                res = from_blocks(res)
+            if isinstance(out, BlockedArray):
+                out = out.replace(data=out.data + res.data)
+            else:
+                out = out + res
+        return bmap(get_activation(self.activation), out)
 
 
 class DilatedConvBlock(nn.Module):

@@ -32,6 +32,7 @@ from typing import Optional
 import flax.linen as nn
 import jax.numpy as jnp
 
+from ..ops.block_domain import BlockedArray, block_path_enabled, from_blocks
 from ..settings import COLS_TO_SAMPLES_PER_EPOCH
 from .activations import get_activation
 from .layers import ConvBlock1D, DilatedConvBlock
@@ -106,6 +107,14 @@ class SignalEncoder(nn.Module):
         if self.remat:
             # static_argnums counts the bound method's args: (self, x, train).
             block_cls = nn.remat(ConvBlock1D, static_argnums=(2,))
+        # Block-domain fast path (docs/design.md): on TPU backends, long
+        # non-causal instance-norm encoders carry activations as dense-lane
+        # [B, T/r, 128] BlockedArrays with Pallas space-to-depth convs.
+        use_blocks = (
+            not self.causal
+            and self.norm == 'instance'
+            and block_path_enabled()
+        )
         for i, ch in enumerate(self.channels):
             if self.norm == 'auto':
                 norm_i = 'instance' if i < 2 else 'layer'
@@ -121,8 +130,11 @@ class SignalEncoder(nn.Module):
                 norm_eps=norm_eps,
                 causal=causal_conv_mode,
                 use_residual=self.use_residual,
+                block_domain=use_blocks,
                 name=f'cnn_{i}',
             )(y, train)
+        if isinstance(y, BlockedArray):
+            y = from_blocks(y)
 
         # [*, 4S or 4, C] -> [B, S, 4*C]; channels-last layout makes this the
         # same memory order as the reference's transpose+reshape (:254-261).

@@ -1,0 +1,130 @@
+"""Block-domain activations for the encoder fast path.
+
+Measured motivation (one v5e, B=8, L=1.2M, bf16; scripts/profile_*):
+channels-last ``[B, T, 16]`` activations waste 7/8 of every vector lane —
+a plain elementwise add costs 0.97 ms vs 0.20 ms on a dense-lane layout,
+and every conv pays HBM traffic on materialized im2col windows (3.7 ms vs
+a 0.76 ms Pallas kernel). The fix: pack ``r = 128 // C`` consecutive
+samples into the feature dim once per encoder (``[B, T/r, 128]``,
+sample-major: feature ``s*C + c``) and keep ALL downstream convs, norms
+and activations in that dense-lane "block domain". Conversion is a single
+XLA relayout (~10 ms at the largest shape, paid once; block0's exit at
+C=128 is the identity).
+
+``BlockedArray`` is a pytree (works under ``nn.remat``) carrying the
+channel count; model layers (models/layers.py) dispatch on it.
+"""
+
+from __future__ import annotations
+
+import os
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+
+
+@flax.struct.dataclass
+class BlockedArray:
+    """[B, T/r, 128] sample-major packing of a channels-last [B, T, C] map;
+    feature index = (sample_within_block * channels + channel)."""
+
+    data: jnp.ndarray
+    channels: int = flax.struct.field(pytree_node=False)
+
+    @property
+    def r(self) -> int:
+        return 128 // self.channels
+
+    @property
+    def length(self) -> int:
+        return self.data.shape[1] * self.r
+
+    @property
+    def batch(self) -> int:
+        return self.data.shape[0]
+
+
+# Test hook: force the block path on (CPU + Pallas interpreter) or off.
+FORCE_BLOCK_PATH: bool | None = None
+
+
+def block_path_enabled() -> bool:
+    """Whether the encoder block-domain fast path is active.
+
+    Currently OPT-IN (``WAV2SLEEP_BLOCK_PATH=1`` on a TPU backend): the
+    Pallas conv itself beats the im2col path 3.8x (0.96 vs 3.7 ms at the
+    block-0 shape), but until the norm/activation passes are fused into the
+    kernel the unfused block pipeline nets out slower end-to-end (98 vs
+    72 ms ECG encoder — the per-layer cost is dominated by the instance-norm
+    stats passes and the gelu transcendentals, not the conv). See
+    docs/design.md "block-domain encoders" for the measured ledger.
+    """
+    if FORCE_BLOCK_PATH is not None:
+        return FORCE_BLOCK_PATH
+    if not os.environ.get('WAV2SLEEP_BLOCK_PATH'):
+        return False
+    try:
+        return jax.default_backend() in ('tpu', 'axon')
+    except Exception:
+        return False
+
+
+# Promote to block domain only when the map is long enough for the one-time
+# pack relayout to pay for itself.
+MIN_PROMOTE_LENGTH = 1 << 16
+
+
+def packable(T: int, C: int) -> bool:
+    return C in (16, 32, 64, 128) and T % (128 // C) == 0
+
+
+def to_blocks(x_BTC: jnp.ndarray, channels: int | None = None) -> BlockedArray:
+    B, T, C = x_BTC.shape
+    if channels is not None and channels != C:
+        raise ValueError(f'channels mismatch: {channels} != {C}')
+    r = 128 // C
+    return BlockedArray(data=x_BTC.reshape(B, T // r, 128), channels=C)
+
+
+def from_blocks(xb: BlockedArray) -> jnp.ndarray:
+    B, N, _ = xb.data.shape
+    return xb.data.reshape(B, N * xb.r, xb.channels)
+
+
+def bmap(fn, x):
+    """Apply an elementwise fn in whichever domain ``x`` lives in."""
+    if isinstance(x, BlockedArray):
+        return x.replace(data=fn(x.data))
+    return fn(x)
+
+
+def _channel_selector(C: int, dtype) -> jnp.ndarray:
+    """[128, C] 0/1 matrix mapping block features (s*C + c) to channels —
+    lets per-channel reductions run as one MXU matmul instead of a
+    lane-splitting reshape (which would relayout the whole map)."""
+    r = 128 // C
+    eye = jnp.eye(C, dtype=dtype)
+    return jnp.tile(eye, (r, 1))  # rows s*C + c -> column c
+
+
+def instance_norm_blocks(xb: BlockedArray, eps: float) -> BlockedArray:
+    """Instance norm (stats over time per (batch, channel), no affine) on a
+    block-domain map — same two-pass formula as models/norms.py
+    InstanceNorm, with the per-channel reductions expressed as matmuls
+    against a feature->channel selector (no lane-splitting relayouts)."""
+    B, N, _ = xb.data.shape
+    r, C = xb.r, xb.channels
+    v = xb.data
+    sel = _channel_selector(C, v.dtype)  # [128, C]
+    n = N * r
+    mu_c = jnp.einsum('bnf,fc->bc', v, sel, preferred_element_type=jnp.float32) / n
+    mu_f = (mu_c @ sel.T.astype(jnp.float32)).astype(v.dtype)[:, None, :]  # [B, 1, 128]
+    centered = v - mu_f
+    var_c = (
+        jnp.einsum('bnf,fc->bc', jnp.square(centered), sel, preferred_element_type=jnp.float32)
+        / n
+    )
+    inv_c = 1.0 / jnp.sqrt(var_c + eps)
+    inv_f = (inv_c @ sel.T.astype(jnp.float32)).astype(v.dtype)[:, None, :]
+    return xb.replace(data=centered * inv_f)

@@ -1,0 +1,311 @@
+"""Pallas TPU kernel for the encoder-front small-channel k3 convs.
+
+Why: wav2sleep's per-signal encoders spend their FLOPs in kernel-3 1-D convs
+at 16-128 channels over up to 1.2M samples. On TPU every XLA formulation of
+those shapes is bounded away from the hardware:
+
+- native ``lax.conv``: ~17 ms for [8, 1.2M, 16] bf16 (layout-padded lanes),
+- im2col matmul (production fallback, ``models/layers.py``): ~4 ms — HBM
+  traffic on the materialized [B, L, 3C] window buffer, ~3x the copy bound,
+- shifted-matmul space-to-depth in plain XLA: ~23 ms (XLA materializes every
+  shifted view).
+
+This kernel keeps the space-to-depth formulation entirely in VMEM: pack
+``r = 128 // C_out`` consecutive samples into the feature dim, so the k3
+conv becomes THREE dense matmuls against [r*C_in, 128] block-banded
+weights — full MXU contraction/output utilization — plus sublane-shifted
+adds for the cross-block taps and two [1, D] boundary rows per tile fed as
+tiny side inputs. One read of x, one write of y, zero HBM intermediates.
+
+The same kernel serves stride 2 (input blocks hold ``2r`` samples; the
+"next-block" term vanishes) — exactly the encoder's downsampling convs.
+Weight embeddings are built in XLA from the ordinary [3, C_in, C_out] conv
+kernel at trace time (cheap, fully differentiable).
+
+Reference behavior being accelerated: torch ``nn.Conv1d(k=3, padding=1)``
+inside ConvBlock1D (reference src/wav2sleep/models/blocks.py:8-71); parity
+vs the im2col path is pinned by tests/ops/test_pallas_conv.py.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_MAX_TILE_ELEMS = 1 << 20  # per-operand VMEM budget (elements)
+
+# Flipped to True by tests to run the kernel through the Pallas interpreter
+# on CPU (read at trace time; the jit cache is per-process so tests set it
+# before the first call).
+_INTERPRET = False
+
+
+def embed_sd_weights(kernel: jnp.ndarray, r: int, stride: int = 1):
+    """Embed a k3 conv kernel [3, Ci, Co] into block-banded matmul weights.
+
+    Returns (WA, WB, WC): out'[n] = x'[n-1] @ WA + x'[n] @ WB + x'[n+1] @ WC
+    where x' packs ``stride*r`` consecutive input samples per block
+    ([stride*r*Ci] features) and out' packs ``r`` output samples
+    ([r*Co] features). For stride 2, WC is identically zero (the window of
+    the last output sample of a block ends inside the same input block).
+
+    Pure jnp — differentiable, runs at trace time, negligible cost.
+    """
+    k, Ci, Co = kernel.shape
+    if k != 3:
+        raise ValueError(f'embed_sd_weights supports k=3, got {k}')
+    rin = stride * r
+    D_in, D_out = rin * Ci, r * Co
+    WA = jnp.zeros((D_in, D_out), kernel.dtype)
+    WB = jnp.zeros((D_in, D_out), kernel.dtype)
+    WC = jnp.zeros((D_in, D_out), kernel.dtype)
+    for s in range(r):  # output sample s within its block
+        for j in range(3):  # conv tap
+            q = stride * s + j - 1  # input sample offset within block
+            cols = (slice(q * Ci, (q + 1) * Ci), slice(s * Co, (s + 1) * Co))
+            if q < 0:
+                WA = WA.at[(q + rin) * Ci:(q + rin + 1) * Ci, cols[1]].set(kernel[j])
+            elif q >= rin:
+                WC = WC.at[(q - rin) * Ci:(q - rin + 1) * Ci, cols[1]].set(kernel[j])
+            else:
+                WB = WB.at[cols].set(kernel[j])
+    return WA, WB, WC
+
+
+def _pick_tile(nb: int, d_in: int) -> int:
+    tb = 4096
+    while tb >= 64 and (nb % tb != 0 or tb * d_in > _MAX_TILE_ELEMS):
+        tb //= 2
+    return tb
+
+
+def _conv_kernel(x_ref, xprev_ref, xnext_ref, wa_ref, wb_ref, wc_ref, b_ref,
+                 y_ref, *, use_next: bool, out_dtype):
+    """Three clean MXU matmuls; the cross-block taps are realized by
+    shifting the bf16 INPUT (one cheap concat per neighbor term) rather
+    than the f32 output — measured at the VMEM copy floor (0.76 ms for
+    [8, 153600, 128] vs 3.7 ms for the XLA im2col path)."""
+    xt = x_ref[0]  # [TB, D_in]
+    f32 = jnp.float32
+    xm1 = jnp.concatenate([xprev_ref[0, 0:1], xt[:-1]], axis=0)
+    out = jnp.dot(xm1, wa_ref[:], preferred_element_type=f32)
+    out = out + jnp.dot(xt, wb_ref[:], preferred_element_type=f32)
+    if use_next:
+        xp1 = jnp.concatenate([xt[1:], xnext_ref[0, 0:1]], axis=0)
+        out = out + jnp.dot(xp1, wc_ref[:], preferred_element_type=f32)
+    out = out + b_ref[:].astype(f32)
+    y_ref[0] = out.astype(out_dtype)
+
+
+def _sd_core(xb, WA, WB, WC, bias_tiled, use_next: bool):
+    """pallas_call on block-domain operands: xb [B, N, D_in] -> [B, N, D_out]."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, nb, D_in = xb.shape
+    D_out = WA.shape[1]
+    TB = _pick_tile(nb, D_in)
+    nT = nb // TB
+    # Tile-boundary neighbor rows (tiny): row t of xprev is x'[t*TB - 1]
+    # (zeros for t=0 — the conv's zero padding), row t of xnext is
+    # x'[(t+1)*TB] (zeros for the last tile). Stored as [B, nT*8, D_in]
+    # with the data in row t*8 (Pallas TPU blocks need their second-to-last
+    # dim divisible by 8, so each boundary row gets an 8-row panel).
+    edge_lo = xb.reshape(B, nT, TB, D_in)[:, :, -1, :]  # x'[ (t+1)*TB - 1 ]
+    xprev = jnp.concatenate([jnp.zeros((B, 1, D_in), xb.dtype), edge_lo[:, :-1]], axis=1)
+    edge_hi = xb.reshape(B, nT, TB, D_in)[:, :, 0, :]  # x'[ t*TB ]
+    xnext = jnp.concatenate([edge_hi[:, 1:], jnp.zeros((B, 1, D_in), xb.dtype)], axis=1)
+    pad8 = ((0, 0), (0, 0), (0, 7), (0, 0))
+    xprev = jnp.pad(xprev[:, :, None, :], pad8).reshape(B, nT * 8, D_in)
+    xnext = jnp.pad(xnext[:, :, None, :], pad8).reshape(B, nT * 8, D_in)
+
+    grid = (B, nT)
+    return pl.pallas_call(
+        functools.partial(_conv_kernel, use_next=use_next, out_dtype=xb.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, TB, D_in), lambda b, t: (b, t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, D_in), lambda b, t: (b, t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, D_in), lambda b, t: (b, t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((D_in, D_out), lambda b, t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((D_in, D_out), lambda b, t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((D_in, D_out), lambda b, t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D_out), lambda b, t: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, TB, D_out), lambda b, t: (b, t, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, nT * TB, D_out), xb.dtype),
+        interpret=_INTERPRET,
+    )(xb, xprev, xnext, WA, WB, WC, bias_tiled)
+
+
+def _embedded_operands(kernel, bias, r: int, stride: int, dtype):
+    WA, WB, WC = embed_sd_weights(kernel, r, stride)
+    bias_tiled = jnp.tile(bias.astype(jnp.float32), r)[None, :]
+    return WA.astype(dtype), WB.astype(dtype), WC.astype(dtype), bias_tiled
+
+
+@functools.partial(jax.jit, static_argnames=('stride',))
+def _sd_conv_impl(x, kernel, bias, stride):
+    B, L, Ci = x.shape
+    _, _, Co = kernel.shape
+    r = 128 // Co
+    rin = stride * r
+    nb = L // rin
+    D_in = rin * Ci
+    WA, WB, WC, bias_tiled = _embedded_operands(kernel, bias, r, stride, x.dtype)
+    out = _sd_core(x.reshape(B, nb, D_in), WA, WB, WC, bias_tiled, use_next=stride == 1)
+    return out.reshape(B, L // stride, Co)
+
+
+def blocks_supported(nb: int, Ci: int, Co: int, stride: int) -> bool:
+    """Whether a block-domain conv (input [B, nb, 128] packed at
+    r_in = 128//Ci) hits the Pallas kernel."""
+    if stride not in (1, 2) or Co not in (16, 32, 64, 128) or not 8 <= Ci <= 128:
+        return False
+    D_in = stride * (128 // Co) * Ci
+    if D_in > 512 or (nb * 128) % D_in:
+        return False
+    return _pick_tile((nb * 128) // D_in, D_in) >= 64
+
+
+@functools.partial(jax.jit, static_argnames=('Ci', 'Co', 'stride'))
+def _sd_conv_blocks_impl(data, kernel, bias, Ci, Co, stride):
+    B, nb, _ = data.shape
+    r = 128 // Co
+    D_in = stride * r * Ci
+    N = (nb * 128) // D_in
+    WA, WB, WC, bias_tiled = _embedded_operands(kernel, bias, r, stride, data.dtype)
+    return _sd_core(data.reshape(B, N, D_in), WA, WB, WC, bias_tiled, use_next=stride == 1)
+
+
+def _blocks_reference(data, kernel, bias, Ci, Co, stride):
+    """Identical math in plain XLA ON THE BLOCK ARRAYS: the block-domain
+    conv IS a k=3 stride-1 conv over block rows with the embedded weights,
+    so its autodiff (used for the custom backward) never leaves the dense
+    block layout — no unpack relayouts in the backward pass."""
+    from jax import lax
+
+    B, nb, _ = data.shape
+    r = 128 // Co
+    D_in = stride * r * Ci
+    N = (nb * 128) // D_in
+    xb2 = data.reshape(B, N, D_in)
+    WA, WB, WC = embed_sd_weights(kernel, r, stride)
+    W3 = jnp.stack([WA, WB, WC]).astype(data.dtype)
+    y = lax.conv_general_dilated(
+        xb2, W3, (1,), ((1, 1),), dimension_numbers=('NHC', 'HIO', 'NHC')
+    )
+    return y + jnp.tile(bias, r).astype(y.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def sd_conv_blocks(data, kernel, bias, Ci: int, Co: int, stride: int):
+    """Block-domain k3 pad-(1,1) conv: [B, nb, 128] (packed at 128//Ci)
+    -> [B, nb*Ci//(stride*Co), 128] (packed at 128//Co). Caller must check
+    ``blocks_supported`` first."""
+    return _sd_conv_blocks_impl(data, kernel, bias, Ci, Co, stride)
+
+
+def _sd_conv_blocks_fwd(data, kernel, bias, Ci, Co, stride):
+    return _sd_conv_blocks_impl(data, kernel, bias, Ci, Co, stride), (data, kernel, bias)
+
+
+def _sd_conv_blocks_bwd(Ci, Co, stride, residuals, g):
+    data, kernel, bias = residuals
+    _, vjp = jax.vjp(
+        lambda d, k, b: _blocks_reference(d, k, b, Ci, Co, stride), data, kernel, bias
+    )
+    return vjp(g)
+
+
+sd_conv_blocks.defvjp(_sd_conv_blocks_fwd, _sd_conv_blocks_bwd)
+
+
+def embed_k1_s2_weights(kernel: jnp.ndarray, r: int) -> jnp.ndarray:
+    """Embed a k=1 stride-2 conv kernel [1, Ci, Co] into a [2*r*Ci, r*Co]
+    matmul weight over input blocks of 2r samples (the ConvBlock1D residual
+    downsample, reference blocks.py:45-53)."""
+    _, Ci, Co = kernel.shape
+    W = jnp.zeros((2 * r * Ci, r * Co), kernel.dtype)
+    for s in range(r):
+        W = W.at[(2 * s) * Ci:(2 * s + 1) * Ci, s * Co:(s + 1) * Co].set(kernel[0])
+    return W
+
+
+def ds_1x1_s2_blocks(data, kernel, Ci: int, Co: int):
+    """Block-domain 1x1 stride-2 conv as a single XLA matmul (natively
+    differentiable; the MXU shape [*, 2rCi] @ [2rCi, 128] is efficient)."""
+    B, nb, _ = data.shape
+    r = 128 // Co
+    D_in = 2 * r * Ci
+    N = (nb * 128) // D_in
+    W = embed_k1_s2_weights(kernel, r).astype(data.dtype)
+    return data.reshape(B, N, D_in) @ W
+
+
+def supported(x_shape, kernel_shape, stride, padding, dilation=1, groups=1) -> bool:
+    """Whether (shape, conv config) hits the Pallas fast path."""
+    if dilation != 1 or groups != 1:
+        return False
+    k, Ci, Co = kernel_shape
+    B, L, Ci2 = x_shape
+    if k != 3 or Ci != Ci2 or padding != (1, 1) or stride not in (1, 2):
+        return False
+    if Co not in (16, 32, 64, 128) or Ci > 128 or Ci < 8:
+        # Ci < 8 (the 1->C entry convs) stays on the VPU broadcast path —
+        # the matmul contraction would be too thin even space-to-depth'd.
+        return False
+    r = 128 // Co
+    rin = stride * r
+    if rin * Ci > 512:  # keep D_in sane (VMEM/bandwidth)
+        return False
+    if L % rin != 0:
+        return False
+    nb = L // rin
+    return _pick_tile(nb, rin * Ci) >= 64
+
+
+def _reference_conv(x, kernel, bias, stride):
+    """The mathematically-identical XLA conv (used only for its transpose
+    rules in the backward pass — the forward runs the Pallas kernel)."""
+    from jax import lax
+
+    y = lax.conv_general_dilated(
+        x,
+        kernel.astype(x.dtype),
+        window_strides=(stride,),
+        padding=((1, 1),),
+        dimension_numbers=('NHC', 'HIO', 'NHC'),
+    )
+    return y + bias.astype(y.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def sd_conv(x, kernel, bias, stride: int = 1):
+    """k=3, padding=(1,1) conv via the Pallas space-to-depth kernel.
+
+    x: [B, L, Ci] (bf16/f32); kernel: [3, Ci, Co]; bias: [Co].
+    Returns [B, L//stride, Co]. Caller must check ``supported`` first.
+    """
+    return _sd_conv_impl(x, kernel, bias, stride)
+
+
+def _sd_conv_fwd(x, kernel, bias, stride):
+    return _sd_conv_impl(x, kernel, bias, stride), (x, kernel, bias)
+
+
+def _sd_conv_bwd(stride, residuals, g):
+    """Backward via jax.vjp of the reference XLA conv: its transpose rules
+    are guaranteed to match the forward math (the Pallas kernel is a
+    bit-compatible-within-reassociation reformulation of it), so gradients
+    are exactly the standard conv gradients."""
+    x, kernel, bias = residuals
+    _, vjp = jax.vjp(lambda xx, kk, bb: _reference_conv(xx, kk, bb, stride), x, kernel, bias)
+    return vjp(g)
+
+
+sd_conv.defvjp(_sd_conv_fwd, _sd_conv_bwd)
