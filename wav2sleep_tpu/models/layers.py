@@ -103,9 +103,12 @@ class Conv1D(nn.Module):
     # BlockedArrays and k3/k1 convs run the Pallas space-to-depth kernel.
     block_domain: bool = False
 
-    def _conv_blocked(self, xb: BlockedArray, kernel, bias):
+    def _conv_blocked(self, xb: BlockedArray, kernel, bias, fused_in=None):
         """Block-domain conv via the Pallas sd kernel (k=3) or an embedded
-        matmul (k=1 stride-2 residual downsample); None if unsupported."""
+        matmul (k=1 stride-2 residual downsample); None if unsupported.
+
+        ``fused_in=(mu_c, inv_c, act_name)`` folds the previous layer's
+        instance-norm apply + activation into the kernel's input read."""
         if self.dilation != 1 or self.groups != 1:
             return None
         Ci, Co = xb.channels, self.features
@@ -116,8 +119,16 @@ class Conv1D(nn.Module):
             and pallas_conv.blocks_supported(nb, Ci, Co, self.stride)
         ):
             b = bias if bias is not None else jnp.zeros((Co,), kernel.dtype)
-            data = pallas_conv.sd_conv_blocks(xb.data, kernel, b, Ci, Co, self.stride)
+            if fused_in is not None:
+                mu_c, inv_c, act_name = fused_in
+                data = pallas_conv.sd_conv_blocks_fused(
+                    xb.data, kernel, b, mu_c, inv_c, Ci, Co, self.stride, act_name
+                )
+            else:
+                data = pallas_conv.sd_conv_blocks(xb.data, kernel, b, Ci, Co, self.stride)
             return BlockedArray(data=data, channels=Co)
+        if fused_in is not None:
+            return None  # caller materializes the pending transform first
         if (
             self.kernel_size == 1
             and self.stride == 2
@@ -132,7 +143,7 @@ class Conv1D(nn.Module):
         return None
 
     @nn.compact
-    def __call__(self, x_NTC) -> jnp.ndarray:
+    def __call__(self, x_NTC, fused_in=None) -> jnp.ndarray:
         blocked_in = isinstance(x_NTC, BlockedArray)
         in_features = x_NTC.channels if blocked_in else x_NTC.shape[-1]
         kshape = (self.kernel_size, in_features // self.groups, self.features)
@@ -146,9 +157,14 @@ class Conv1D(nn.Module):
             kernel = self.param('kernel', conv_kernel_init, kshape)
         bias = self.param('bias', nn.initializers.zeros, (self.features,)) if self.use_bias else None
         if blocked_in:
-            yb = self._conv_blocked(x_NTC, kernel, bias)
+            yb = self._conv_blocked(x_NTC, kernel, bias, fused_in)
             if yb is not None:
                 return yb
+            if fused_in is not None:
+                # Unsupported fused shape: materialize the pending
+                # norm+activation, then demote to channels-last.
+                mu_c, inv_c, act_name = fused_in
+                x_NTC = bd.apply_norm_act(x_NTC, mu_c, inv_c, pallas_conv._in_act(act_name))
             x_NTC = from_blocks(x_NTC)  # unsupported config: demote
         y = None
         if self.dilation == 1 and self.groups == 1:
@@ -196,7 +212,8 @@ class ConvLayer1D(nn.Module):
     block_domain: bool = False
 
     @nn.compact
-    def __call__(self, x_NTC, train: bool = False) -> jnp.ndarray:
+    def __call__(self, x_NTC, train: bool = False, fused_in=None,
+                 fused_emit_prenorm: bool = False) -> jnp.ndarray:
         if self.causal:
             pad = (self.kernel_size - 1) * self.dilation
         else:
@@ -213,7 +230,11 @@ class ConvLayer1D(nn.Module):
             block_domain=self.block_domain and not self.causal,
             name='conv',
         )
-        out = conv(x_NTC)
+        out = conv(x_NTC, fused_in=fused_in)
+        if fused_emit_prenorm and isinstance(out, BlockedArray):
+            # Fused chain (ConvBlock1D): the caller folds this layer's norm
+            # + activation into the NEXT conv's input read.
+            return out
         if isinstance(out, BlockedArray) and self.norm not in ('instance', None, 'weight'):
             out = from_blocks(out)  # only instance norm has a block-domain form
         if self.causal and pad > 0:
@@ -268,9 +289,55 @@ class ConvBlock1D(nn.Module):
                 name=name,
             )
 
-        out = make('conv1')(x_NTC, train=train)
-        out = make('conv2')(out, train=train)
-        out = make('conv3', stride=2)(out, train=train)
+        l1, l2, l3 = make('conv1'), make('conv2'), make('conv3', stride=2)
+        fused_ok = (
+            self.block_domain
+            and self.norm == 'instance'
+            and self.dropout == 0.0
+            and not self.causal
+        )
+        if fused_ok:
+            # Fused chain: each Pallas conv consumes the previous layer's
+            # instance-norm + activation inside its input read; stats come
+            # from one matmul-reduce pass per layer. HBM sees only the conv
+            # outputs.
+            eps = self.norm_eps if self.norm_eps is not None else 1e-5
+            act = get_activation(self.activation)
+            # Each step may fall back mid-chain (a layer whose block shape
+            # misses the kernel demotes to channels-last and finishes its
+            # own norm+act); handle every combination.
+            c1 = l1(x_NTC, train=train, fused_emit_prenorm=True)
+            c2_pre = False
+            if isinstance(c1, BlockedArray):
+                mu1, inv1 = bd.block_stats(c1, eps)
+                c2 = l2(c1, train=train, fused_in=(mu1, inv1, self.activation),
+                        fused_emit_prenorm=True)
+                c2_pre = isinstance(c2, BlockedArray)  # False => l2 fell back
+            else:
+                # conv1 did not promote (short input / CPU): finish its
+                # norm+activation here (instance norm is parameter-free,
+                # identical math to the in-layer module) and continue on
+                # the standard path.
+                mu = jnp.mean(c1, axis=-2, keepdims=True)
+                var = jnp.mean(jnp.square(c1 - mu), axis=-2, keepdims=True)
+                c2 = l2(act((c1 - mu) / jnp.sqrt(var + eps)), train=train)
+            c3_pre = False
+            if c2_pre:
+                mu2, inv2 = bd.block_stats(c2, eps)
+                c3 = l3(c2, train=train, fused_in=(mu2, inv2, self.activation),
+                        fused_emit_prenorm=True)
+                c3_pre = isinstance(c3, BlockedArray)
+            else:
+                c3 = l3(c2, train=train)  # c2 already fully processed
+            if c3_pre:
+                mu3, inv3 = bd.block_stats(c3, eps)
+                out = bd.apply_norm_act(c3, mu3, inv3, act)
+            else:
+                out = c3
+        else:
+            out = l1(x_NTC, train=train)
+            out = l2(out, train=train)
+            out = l3(out, train=train)
         if self.use_residual:
             res = Conv1D(
                 features=self.features,

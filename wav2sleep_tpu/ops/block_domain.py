@@ -50,19 +50,17 @@ FORCE_BLOCK_PATH: bool | None = None
 
 
 def block_path_enabled() -> bool:
-    """Whether the encoder block-domain fast path is active.
+    """Whether the encoder block-domain fast path is active (default ON for
+    TPU backends; ``WAV2SLEEP_DISABLE_BLOCK_PATH=1`` opts out; on CPU the
+    plain XLA paths win and the parity suite pins them).
 
-    Currently OPT-IN (``WAV2SLEEP_BLOCK_PATH=1`` on a TPU backend): the
-    Pallas conv itself beats the im2col path 3.8x (0.96 vs 3.7 ms at the
-    block-0 shape), but until the norm/activation passes are fused into the
-    kernel the unfused block pipeline nets out slower end-to-end (98 vs
-    72 ms ECG encoder — the per-layer cost is dominated by the instance-norm
-    stats passes and the gelu transcendentals, not the conv). See
-    docs/design.md "block-domain encoders" for the measured ledger.
+    Measured on one v5e (B=8, S=1200, bf16): ECG encoder 58.5 ms vs 72 ms
+    on the im2col path, full flagship forward 154 vs 179 ms, train-step
+    compute 236 vs 268 ms — see docs/design.md "block-domain encoders".
     """
     if FORCE_BLOCK_PATH is not None:
         return FORCE_BLOCK_PATH
-    if not os.environ.get('WAV2SLEEP_BLOCK_PATH'):
+    if os.environ.get('WAV2SLEEP_DISABLE_BLOCK_PATH'):
         return False
     try:
         return jax.default_backend() in ('tpu', 'axon')
@@ -106,6 +104,33 @@ def _channel_selector(C: int, dtype) -> jnp.ndarray:
     r = 128 // C
     eye = jnp.eye(C, dtype=dtype)
     return jnp.tile(eye, (r, 1))  # rows s*C + c -> column c
+
+
+def block_stats(xb: BlockedArray, eps: float):
+    """Per-(batch, channel) instance-norm statistics of a block-domain map:
+    returns (mu_c [B, C] f32, inv_c [B, C] f32 = 1/sqrt(var + eps)).
+    One read pass: both reductions are selector matmuls over the same data.
+    Variance is the one-pass E[x^2] - mu^2 form (clamped at 0)."""
+    B, N, _ = xb.data.shape
+    r, C = xb.r, xb.channels
+    v = xb.data
+    sel = _channel_selector(C, v.dtype)
+    n = N * r
+    s1 = jnp.einsum('bnf,fc->bc', v, sel, preferred_element_type=jnp.float32)
+    s2 = jnp.einsum('bnf,fc->bc', jnp.square(v), sel, preferred_element_type=jnp.float32)
+    mu = s1 / n
+    var = jnp.maximum(s2 / n - jnp.square(mu), 0.0)
+    return mu, 1.0 / jnp.sqrt(var + eps)
+
+
+def apply_norm_act(xb: BlockedArray, mu_c, inv_c, act_fn) -> BlockedArray:
+    """Materialize act((x - mu) * inv) for a block-domain map (the final
+    layer of a fused chain, where the next consumer is a residual add)."""
+    C = xb.channels
+    sel32 = _channel_selector(C, jnp.float32)
+    mu_f = (mu_c @ sel32.T).astype(xb.data.dtype)[:, None, :]
+    inv_f = (inv_c @ sel32.T).astype(xb.data.dtype)[:, None, :]
+    return xb.replace(data=act_fn((xb.data - mu_f) * inv_f))
 
 
 def instance_norm_blocks(xb: BlockedArray, eps: float) -> BlockedArray:

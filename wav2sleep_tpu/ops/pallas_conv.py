@@ -78,68 +78,146 @@ def embed_sd_weights(kernel: jnp.ndarray, r: int, stride: int = 1):
 
 def _pick_tile(nb: int, d_in: int) -> int:
     tb = 4096
-    while tb >= 64 and (nb % tb != 0 or tb * d_in > _MAX_TILE_ELEMS):
+    while tb >= 8 and (nb % tb != 0 or tb * d_in > _MAX_TILE_ELEMS):
         tb //= 2
     return tb
 
 
+def _in_act(name: str | None):
+    """Elementwise activations available inside the kernel — must match
+    models/activations.py get_activation semantics for the fused names."""
+    import jax as _jax
+
+    if name is None:
+        return lambda v: v
+    if name == 'gelu':
+        # erf-form gelu. Neither erf nor erfc has a Pallas TPU lowering, so
+        # erf is computed in-kernel via Abramowitz & Stegun 7.1.26
+        # (max abs error 1.5e-7 — below f32 gelu round-off, far below the
+        # bf16 compute noise of the surrounding matmuls).
+        def _erf(x):
+            p = 0.3275911
+            a1, a2, a3, a4, a5 = (
+                0.254829592, -0.284496736, 1.421413741, -1.453152027, 1.061405429,
+            )
+            ax = jnp.abs(x)
+            t = 1.0 / (1.0 + p * ax)
+            poly = ((((a5 * t + a4) * t + a3) * t + a2) * t + a1) * t
+            y = 1.0 - poly * jnp.exp(-ax * ax)
+            return jnp.sign(x) * y
+
+        def _gelu(v):
+            f32 = v.astype(jnp.float32)
+            return (0.5 * f32 * (1.0 + _erf(f32 * (2.0 ** -0.5)))).astype(v.dtype)
+
+        return _gelu
+    if name == 'relu':
+        return _jax.nn.relu
+    if name == 'leaky':
+        return lambda v: _jax.nn.leaky_relu(v, negative_slope=0.01)
+    if name == 'silu':
+        return _jax.nn.silu
+    raise ValueError(f'unsupported fused activation {name!r}')
+
+
 def _conv_kernel(x_ref, xprev_ref, xnext_ref, wa_ref, wb_ref, wc_ref, b_ref,
-                 y_ref, *, use_next: bool, out_dtype):
+                 sh_ref, sc_ref, y_ref, *, use_next: bool, out_dtype,
+                 in_norm: bool, act):
     """Three clean MXU matmuls; the cross-block taps are realized by
     shifting the bf16 INPUT (one cheap concat per neighbor term) rather
     than the f32 output — measured at the VMEM copy floor (0.76 ms for
-    [8, 153600, 128] vs 3.7 ms for the XLA im2col path)."""
-    xt = x_ref[0]  # [TB, D_in]
+    [8, 153600, 128] vs 3.7 ms for the XLA im2col path). Optionally fuses
+    the PREVIOUS layer's instance-norm apply + activation into the input
+    read (shift/scale per feature), so the norm/gelu passes never touch
+    HBM."""
+    import jax.experimental.pallas as pl
+
     f32 = jnp.float32
-    xm1 = jnp.concatenate([xprev_ref[0, 0:1], xt[:-1]], axis=0)
+    xt = x_ref[0]  # [TB, D_in]
+    xm1r = xprev_ref[0, 7:8]  # last row of the panel ending at x'[t*TB-1]
+    xp1r = xnext_ref[0, 0:1]  # first row of the panel at x'[(t+1)*TB]
+    if in_norm:
+        sh = sh_ref[0].astype(xt.dtype)
+        sc = sc_ref[0].astype(xt.dtype)
+        xt = act((xt - sh) * sc)
+        xm1r = act((xm1r - sh) * sc)
+        xp1r = act((xp1r - sh) * sc)
+    # Sequence-edge tiles read a clamped (wrong) panel; mask those rows to
+    # zero — the conv's zero padding, applied AFTER any fused transform.
+    t = pl.program_id(1)
+    zero = jnp.zeros_like(xm1r)
+    xm1r = jnp.where(t == 0, zero, xm1r)
+    if use_next:
+        xp1r = jnp.where(t == pl.num_programs(1) - 1, zero, xp1r)
+    xm1 = jnp.concatenate([xm1r, xt[:-1]], axis=0)
     out = jnp.dot(xm1, wa_ref[:], preferred_element_type=f32)
     out = out + jnp.dot(xt, wb_ref[:], preferred_element_type=f32)
     if use_next:
-        xp1 = jnp.concatenate([xt[1:], xnext_ref[0, 0:1]], axis=0)
+        xp1 = jnp.concatenate([xt[1:], xp1r], axis=0)
         out = out + jnp.dot(xp1, wc_ref[:], preferred_element_type=f32)
     out = out + b_ref[:].astype(f32)
     y_ref[0] = out.astype(out_dtype)
 
 
-def _sd_core(xb, WA, WB, WC, bias_tiled, use_next: bool):
-    """pallas_call on block-domain operands: xb [B, N, D_in] -> [B, N, D_out]."""
+def _sd_core(xb, WA, WB, WC, bias_tiled, use_next: bool,
+             shift=None, scale=None, act_name: str | None = None):
+    """pallas_call on block-domain operands: xb [B, N, D_in] -> [B, N, D_out].
+
+    ``shift``/``scale`` ([1, D_in], f32) fuse the previous layer's
+    instance-norm apply + ``act_name`` activation into the input read."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     B, nb, D_in = xb.shape
     D_out = WA.shape[1]
+    in_norm = shift is not None
+    if not in_norm:
+        shift = jnp.zeros((B, 1, D_in), jnp.float32)
+        scale = jnp.ones((B, 1, D_in), jnp.float32)
     TB = _pick_tile(nb, D_in)
     nT = nb // TB
-    # Tile-boundary neighbor rows (tiny): row t of xprev is x'[t*TB - 1]
-    # (zeros for t=0 — the conv's zero padding), row t of xnext is
-    # x'[(t+1)*TB] (zeros for the last tile). Stored as [B, nT*8, D_in]
-    # with the data in row t*8 (Pallas TPU blocks need their second-to-last
-    # dim divisible by 8, so each boundary row gets an 8-row panel).
-    edge_lo = xb.reshape(B, nT, TB, D_in)[:, :, -1, :]  # x'[ (t+1)*TB - 1 ]
-    xprev = jnp.concatenate([jnp.zeros((B, 1, D_in), xb.dtype), edge_lo[:, :-1]], axis=1)
-    edge_hi = xb.reshape(B, nT, TB, D_in)[:, :, 0, :]  # x'[ t*TB ]
-    xnext = jnp.concatenate([edge_hi[:, 1:], jnp.zeros((B, 1, D_in), xb.dtype)], axis=1)
-    pad8 = ((0, 0), (0, 0), (0, 7), (0, 0))
-    xprev = jnp.pad(xprev[:, :, None, :], pad8).reshape(B, nT * 8, D_in)
-    xnext = jnp.pad(xnext[:, :, None, :], pad8).reshape(B, nT * 8, D_in)
+    np8 = TB // 8  # 8-row panels per tile
+    # Tile-boundary neighbor rows are read straight from xb through two
+    # extra 8-row-panel views with shifted (clamped) index maps: the panel
+    # ending at x'[t*TB - 1] and the panel starting at x'[(t+1)*TB]. The
+    # kernel masks the t=0 / t=nT-1 reads to zero (the conv's sequence
+    # padding). No XLA-side gather/concat/pad — constructing these rows in
+    # XLA materialized full-array reshape views (measured ~half the
+    # encoder's runtime).
 
     grid = (B, nT)
     return pl.pallas_call(
-        functools.partial(_conv_kernel, use_next=use_next, out_dtype=xb.dtype),
+        functools.partial(
+            _conv_kernel,
+            use_next=use_next,
+            out_dtype=xb.dtype,
+            in_norm=in_norm,
+            act=_in_act(act_name),
+        ),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, TB, D_in), lambda b, t: (b, t, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, D_in), lambda b, t: (b, t, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, D_in), lambda b, t: (b, t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, 8, D_in),
+                lambda b, t: (b, jnp.maximum(t * np8 - 1, 0), 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 8, D_in),
+                lambda b, t: (b, jnp.minimum((t + 1) * np8, nT * np8 - 1), 0),
+                memory_space=pltpu.VMEM,
+            ),
             pl.BlockSpec((D_in, D_out), lambda b, t: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((D_in, D_out), lambda b, t: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((D_in, D_out), lambda b, t: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, D_out), lambda b, t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, D_in), lambda b, t: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, D_in), lambda b, t: (b, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, TB, D_out), lambda b, t: (b, t, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, nT * TB, D_out), xb.dtype),
         interpret=_INTERPRET,
-    )(xb, xprev, xnext, WA, WB, WC, bias_tiled)
+    )(xb, xb, xb, WA, WB, WC, bias_tiled, shift, scale)
 
 
 def _embedded_operands(kernel, bias, r: int, stride: int, dtype):
@@ -169,7 +247,7 @@ def blocks_supported(nb: int, Ci: int, Co: int, stride: int) -> bool:
     D_in = stride * (128 // Co) * Ci
     if D_in > 512 or (nb * 128) % D_in:
         return False
-    return _pick_tile((nb * 128) // D_in, D_in) >= 64
+    return _pick_tile((nb * 128) // D_in, D_in) >= 8
 
 
 @functools.partial(jax.jit, static_argnames=('Ci', 'Co', 'stride'))
@@ -225,6 +303,81 @@ def _sd_conv_blocks_bwd(Ci, Co, stride, residuals, g):
 sd_conv_blocks.defvjp(_sd_conv_blocks_fwd, _sd_conv_blocks_bwd)
 
 
+def _tile_to_din(v_c, Ci: int, D_in: int):
+    """Per-(batch, channel) [B, Ci] f32 -> per-feature [B, 1, D_in]
+    (sample-major packing)."""
+    return jnp.tile(v_c.astype(jnp.float32), (1, D_in // Ci))[:, None, :]
+
+
+@functools.partial(jax.jit, static_argnames=('Ci', 'Co', 'stride', 'act'))
+def _sd_conv_blocks_fused_impl(data, kernel, bias, mu_c, inv_c, Ci, Co, stride, act):
+    B, nb, _ = data.shape
+    r = 128 // Co
+    D_in = stride * r * Ci
+    N = (nb * 128) // D_in
+    WA, WB, WC, bias_tiled = _embedded_operands(kernel, bias, r, stride, data.dtype)
+    return _sd_core(
+        data.reshape(B, N, D_in),
+        WA, WB, WC, bias_tiled,
+        use_next=stride == 1,
+        shift=_tile_to_din(mu_c, Ci, D_in),
+        scale=_tile_to_din(inv_c, Ci, D_in),
+        act_name=act,
+    )
+
+
+def _fused_reference(data, kernel, bias, mu_c, inv_c, Ci, Co, stride, act):
+    B, nb, _ = data.shape
+    r = 128 // Co
+    D_in = stride * r * Ci
+    N = (nb * 128) // D_in
+    xb2 = data.reshape(B, N, D_in)
+    sh = _tile_to_din(mu_c, Ci, D_in).astype(data.dtype)
+    sc = _tile_to_din(inv_c, Ci, D_in).astype(data.dtype)
+    xb2 = _in_act(act)((xb2 - sh) * sc)
+    WA, WB, WC = embed_sd_weights(kernel, r, stride)
+    W3 = jnp.stack([WA, WB, WC]).astype(data.dtype)
+    from jax import lax
+
+    y = lax.conv_general_dilated(
+        xb2, W3, (1,), ((1, 1),), dimension_numbers=('NHC', 'HIO', 'NHC')
+    )
+    return y + jnp.tile(bias, r).astype(y.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+def sd_conv_blocks_fused(data, kernel, bias, mu_c, inv_c, Ci: int, Co: int,
+                         stride: int, act: str | None):
+    """Block-domain conv with the PREVIOUS layer's instance-norm apply and
+    activation fused into the kernel's input read: computes
+    ``conv(act((data - mu_c) * inv_c))`` without the norm/activation ever
+    touching HBM. ``mu_c``/``inv_c`` are per-channel [Ci] f32 statistics
+    (from ops.block_domain.block_stats).
+ The conv's zero padding applies to the
+    transformed input (the sequence-edge boundary rows are masked back to
+    zero in the kernel), exactly matching the unfused norm -> act -> conv
+    chain.
+    """
+    return _sd_conv_blocks_fused_impl(data, kernel, bias, mu_c, inv_c, Ci, Co, stride, act)
+
+
+def _sd_fused_fwd(data, kernel, bias, mu_c, inv_c, Ci, Co, stride, act):
+    out = _sd_conv_blocks_fused_impl(data, kernel, bias, mu_c, inv_c, Ci, Co, stride, act)
+    return out, (data, kernel, bias, mu_c, inv_c)
+
+
+def _sd_fused_bwd(Ci, Co, stride, act, residuals, g):
+    data, kernel, bias, mu_c, inv_c = residuals
+    _, vjp = jax.vjp(
+        lambda d, k, b, m, i: _fused_reference(d, k, b, m, i, Ci, Co, stride, act),
+        data, kernel, bias, mu_c, inv_c,
+    )
+    return vjp(g)
+
+
+sd_conv_blocks_fused.defvjp(_sd_fused_fwd, _sd_fused_bwd)
+
+
 def embed_k1_s2_weights(kernel: jnp.ndarray, r: int) -> jnp.ndarray:
     """Embed a k=1 stride-2 conv kernel [1, Ci, Co] into a [2*r*Ci, r*Co]
     matmul weight over input blocks of 2r samples (the ConvBlock1D residual
@@ -266,7 +419,7 @@ def supported(x_shape, kernel_shape, stride, padding, dilation=1, groups=1) -> b
     if L % rin != 0:
         return False
     nb = L // rin
-    return _pick_tile(nb, rin * Ci) >= 64
+    return _pick_tile(nb, rin * Ci) >= 8
 
 
 def _reference_conv(x, kernel, bias, stride):
