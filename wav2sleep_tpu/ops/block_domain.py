@@ -63,7 +63,11 @@ def block_path_enabled() -> bool:
     if os.environ.get('WAV2SLEEP_DISABLE_BLOCK_PATH'):
         return False
     try:
-        return jax.default_backend() in ('tpu', 'axon')
+        # Single-device only for now: under pjit with a sharded batch the
+        # pallas_call custom call has no SPMD partitioning rule, so a
+        # multi-chip mesh falls back to the (GSPMD-partitionable) im2col
+        # path rather than risking replication/compile failures.
+        return jax.default_backend() in ('tpu', 'axon') and jax.device_count() == 1
     except Exception:
         return False
 
