@@ -30,11 +30,8 @@ vs the im2col path is pinned by tests/ops/test_pallas_conv.py.
 from __future__ import annotations
 
 import functools
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 _MAX_TILE_ELEMS = 1 << 20  # per-operand VMEM budget (elements)
 
