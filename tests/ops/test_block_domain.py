@@ -96,6 +96,49 @@ def test_param_tree_identical_between_paths(forced_block_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_convblock_fused_no_promotion_matches_standard(monkeypatch):
+    """Regression: with the block path on but the input too short to
+    promote, the fused-chain fallback must not double-apply norm+act
+    (ConvLayer1D returns PRE-norm output under fused_emit_prenorm even for
+    plain arrays; ConvBlock1D finishes each plain stage exactly once)."""
+    from wav2sleep_tpu.models.layers import ConvBlock1D
+
+    monkeypatch.setattr(bd, 'FORCE_BLOCK_PATH', True)
+    # Keep the default (large) MIN_PROMOTE_LENGTH: nothing promotes.
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(2, 1024, 16)), jnp.float32)
+    blk = ConvBlock1D(features=16, activation='gelu', norm='instance',
+                      norm_eps=1e-2, block_domain=True)
+    blk_std = ConvBlock1D(features=16, activation='gelu', norm='instance',
+                          norm_eps=1e-2, block_domain=False)
+    params = blk_std.init(jax.random.PRNGKey(0), x)
+    y_fast = blk.apply(params, x)
+    monkeypatch.setattr(bd, 'FORCE_BLOCK_PATH', False)
+    y_ref = blk_std.apply(params, x)
+    np.testing.assert_allclose(np.asarray(y_fast), np.asarray(y_ref), atol=1e-5, rtol=1e-5)
+
+
+def test_convblock_fused_mixed_promotion_matches_standard(monkeypatch):
+    """Mid-chain demotion: promote with a tiny threshold but force conv3's
+    block shape off the kernel by an awkward length, exercising the
+    plain-stage handoff inside the fused chain."""
+    from wav2sleep_tpu.models.layers import ConvBlock1D
+
+    monkeypatch.setattr(bd, 'FORCE_BLOCK_PATH', True)
+    monkeypatch.setattr(bd, 'MIN_PROMOTE_LENGTH', 256)
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.normal(size=(1, 2048, 16)), jnp.float32)
+    blk = ConvBlock1D(features=16, activation='gelu', norm='instance',
+                      norm_eps=1e-2, block_domain=True)
+    params = blk.init(jax.random.PRNGKey(0), x)
+    y_fast = blk.apply(params, x)
+    if isinstance(y_fast, bd.BlockedArray):
+        y_fast = bd.from_blocks(y_fast)
+    monkeypatch.setattr(bd, 'FORCE_BLOCK_PATH', False)
+    y_ref = blk.apply(params, x)
+    np.testing.assert_allclose(np.asarray(y_fast), np.asarray(y_ref), atol=2e-4, rtol=2e-3)
+
+
 def test_pack_roundtrip_and_norm():
     rng = np.random.default_rng(2)
     x = jnp.asarray(rng.normal(size=(2, 4096, 32)), jnp.float32)

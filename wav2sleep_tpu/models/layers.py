@@ -231,9 +231,12 @@ class ConvLayer1D(nn.Module):
             name='conv',
         )
         out = conv(x_NTC, fused_in=fused_in)
-        if fused_emit_prenorm and isinstance(out, BlockedArray):
-            # Fused chain (ConvBlock1D): the caller folds this layer's norm
-            # + activation into the NEXT conv's input read.
+        if fused_emit_prenorm:
+            # Fused chain (ConvBlock1D): the caller owns this layer's norm
+            # + activation (folded into the NEXT conv's input read when the
+            # output is blocked, applied explicitly when it is plain) — in
+            # BOTH cases the raw conv output must be returned, or the
+            # norm+act would run twice.
             return out
         if isinstance(out, BlockedArray) and self.norm not in ('instance', None, 'weight'):
             out = from_blocks(out)  # only instance norm has a block-domain form
@@ -303,37 +306,36 @@ class ConvBlock1D(nn.Module):
             # outputs.
             eps = self.norm_eps if self.norm_eps is not None else 1e-5
             act = get_activation(self.activation)
-            # Each step may fall back mid-chain (a layer whose block shape
-            # misses the kernel demotes to channels-last and finishes its
-            # own norm+act); handle every combination.
+
+            def finish_plain(c):
+                # Instance norm (parameter-free, identical math to the
+                # in-layer module) + activation for a channels-last stage.
+                mu = jnp.mean(c, axis=-2, keepdims=True)
+                var = jnp.mean(jnp.square(c - mu), axis=-2, keepdims=True)
+                return act((c - mu) / jnp.sqrt(var + eps))
+
+            # Every c_i below is the PRE-norm conv output (blocked or
+            # plain — a layer may fall back mid-chain when its shape misses
+            # the kernel): blocked stages hand their norm+act to the next
+            # conv's fused input read; plain stages get it applied here.
             c1 = l1(x_NTC, train=train, fused_emit_prenorm=True)
-            c2_pre = False
             if isinstance(c1, BlockedArray):
                 mu1, inv1 = bd.block_stats(c1, eps)
                 c2 = l2(c1, train=train, fused_in=(mu1, inv1, self.activation),
                         fused_emit_prenorm=True)
-                c2_pre = isinstance(c2, BlockedArray)  # False => l2 fell back
             else:
-                # conv1 did not promote (short input / CPU): finish its
-                # norm+activation here (instance norm is parameter-free,
-                # identical math to the in-layer module) and continue on
-                # the standard path.
-                mu = jnp.mean(c1, axis=-2, keepdims=True)
-                var = jnp.mean(jnp.square(c1 - mu), axis=-2, keepdims=True)
-                c2 = l2(act((c1 - mu) / jnp.sqrt(var + eps)), train=train)
-            c3_pre = False
-            if c2_pre:
+                c2 = l2(finish_plain(c1), train=train, fused_emit_prenorm=True)
+            if isinstance(c2, BlockedArray):
                 mu2, inv2 = bd.block_stats(c2, eps)
                 c3 = l3(c2, train=train, fused_in=(mu2, inv2, self.activation),
                         fused_emit_prenorm=True)
-                c3_pre = isinstance(c3, BlockedArray)
             else:
-                c3 = l3(c2, train=train)  # c2 already fully processed
-            if c3_pre:
+                c3 = l3(finish_plain(c2), train=train, fused_emit_prenorm=True)
+            if isinstance(c3, BlockedArray):
                 mu3, inv3 = bd.block_stats(c3, eps)
                 out = bd.apply_norm_act(c3, mu3, inv3, act)
             else:
-                out = c3
+                out = finish_plain(c3)
         else:
             out = l1(x_NTC, train=train)
             out = l2(out, train=train)

@@ -112,8 +112,10 @@ def _in_act(name: str | None):
         return _jax.nn.relu
     if name == 'leaky':
         return lambda v: _jax.nn.leaky_relu(v, negative_slope=0.01)
-    if name == 'silu':
+    if name in ('silu', 'swish'):
         return _jax.nn.silu
+    if name == 'linear':
+        return lambda v: v
     raise ValueError(f'unsupported fused activation {name!r}')
 
 

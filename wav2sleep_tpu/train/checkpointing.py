@@ -68,8 +68,14 @@ class CheckpointManager:
     def restore(self, trainer, which: str = 'last') -> int:
         """Restore into ``trainer``; returns the epoch to resume from."""
         # ``which`` may be a bare name ('last'/'best') under self.root, or a
-        # filesystem path (absolute or cwd-relative) to a checkpoint dir.
-        path = os.path.abspath(which) if os.path.exists(which) else os.path.join(self.root, which)
+        # filesystem path to a checkpoint dir. Bare names always resolve
+        # under self.root (a stray cwd entry named 'last' must not shadow
+        # the run's checkpoint); anything containing a separator is treated
+        # as a path.
+        if os.path.isabs(which) or (os.sep in which and os.path.exists(which)):
+            path = os.path.abspath(which)
+        else:
+            path = os.path.join(self.root, which)
         meta_path = path + '.meta.json'
         if not os.path.exists(path):
             raise FileNotFoundError(f'No checkpoint at {path}')
@@ -82,7 +88,36 @@ class CheckpointManager:
         template = {'state': jax.device_get(trainer.state), 'rng': jax.device_get(trainer.rng)}
         if getattr(trainer, '_host_ema', None) is not None:
             template['host_ema'] = trainer._host_ema
-        restored = self._ckptr.restore(path, template)
+        try:
+            restored = self._ckptr.restore(path, template)
+        except Exception:
+            if 'host_ema' in template:
+                # Checkpoint predates ema_offload (no host_ema entry):
+                # restore without it and seed the host EMA from the
+                # restored parameters.
+                restored = self._ckptr.restore(
+                    path, {k: v for k, v in template.items() if k != 'host_ema'}
+                )
+                restored['host_ema'] = jax.tree_util.tree_map(
+                    lambda v: np.array(v), restored['state'].params
+                )
+                logger.warning(
+                    'Checkpoint has no host_ema entry (saved without '
+                    'ema_offload); initialized the offloaded EMA from the '
+                    'restored parameters.'
+                )
+            else:
+                # Checkpoint carries a host_ema this trainer does not use:
+                # restore with it present, then drop it.
+                template['host_ema'] = jax.tree_util.tree_map(
+                    lambda v: np.array(v), template['state'].params
+                )
+                restored = self._ckptr.restore(path, template)
+                logger.warning(
+                    'Checkpoint carries an offloaded EMA but ema_offload is '
+                    'disabled; the EMA weights were ignored.'
+                )
+                restored.pop('host_ema', None)
         trainer.state = restored['state']
         trainer.rng = restored['rng']
         if 'host_ema' in restored:

@@ -370,7 +370,10 @@ class Trainer:
         if self.ema_decay is None or not self.eval_with_ema:
             return self.state.params
         if self._host_ema is not None:
-            return self._host_ema
+            # One explicit H2D transfer per eval/predict pass; returning the
+            # host numpy tree directly would re-upload the full parameter
+            # set on EVERY jitted call (once per batch per signal subset).
+            return jax.device_put(self._host_ema)
         if self.state.ema_params is not None:
             return self.state.ema_params
         return self.state.params
