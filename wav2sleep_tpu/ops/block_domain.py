@@ -63,11 +63,11 @@ def block_path_enabled() -> bool:
     if os.environ.get('WAV2SLEEP_DISABLE_BLOCK_PATH'):
         return False
     try:
-        # Single-device only for now: under pjit with a sharded batch the
-        # pallas_call custom call has no SPMD partitioning rule, so a
-        # multi-chip mesh falls back to the (GSPMD-partitionable) im2col
-        # path rather than risking replication/compile failures.
-        return jax.default_backend() in ('tpu', 'axon') and jax.device_count() == 1
+        # Multi-chip meshes are supported: the pallas convs are registered
+        # batch-parallel via custom_partitioning (ops/pallas_conv.py
+        # ``_sd_core_spmd``), so GSPMD/Shardy runs them per-shard over the
+        # mesh's data axis instead of replicating.
+        return jax.default_backend() in ('tpu', 'axon')
     except Exception:
         return False
 
@@ -113,17 +113,23 @@ def _channel_selector(C: int, dtype) -> jnp.ndarray:
 def block_stats(xb: BlockedArray, eps: float):
     """Per-(batch, channel) instance-norm statistics of a block-domain map:
     returns (mu_c [B, C] f32, inv_c [B, C] f32 = 1/sqrt(var + eps)).
-    One read pass: both reductions are selector matmuls over the same data.
-    Variance is the one-pass E[x^2] - mu^2 form (clamped at 0)."""
+    Two-pass centered variance (mean matmul, then a selector matmul over the
+    centered squares) — the same formula as instance_norm_blocks and the
+    standard InstanceNorm, so the fused chain can't drift from the unfused
+    paths on high-mean/low-variance maps (f32 E[x^2]-mu^2 cancellation is
+    exactly the case the encoders' eps=1e-2 exists for)."""
     B, N, _ = xb.data.shape
     r, C = xb.r, xb.channels
     v = xb.data
     sel = _channel_selector(C, v.dtype)
     n = N * r
-    s1 = jnp.einsum('bnf,fc->bc', v, sel, preferred_element_type=jnp.float32)
-    s2 = jnp.einsum('bnf,fc->bc', jnp.square(v), sel, preferred_element_type=jnp.float32)
-    mu = s1 / n
-    var = jnp.maximum(s2 / n - jnp.square(mu), 0.0)
+    mu = jnp.einsum('bnf,fc->bc', v, sel, preferred_element_type=jnp.float32) / n
+    mu_f = (mu @ _channel_selector(C, jnp.float32).T).astype(v.dtype)[:, None, :]
+    centered = v - mu_f
+    var = (
+        jnp.einsum('bnf,fc->bc', jnp.square(centered), sel, preferred_element_type=jnp.float32)
+        / n
+    )
     return mu, 1.0 / jnp.sqrt(var + eps)
 
 

@@ -32,6 +32,8 @@ from __future__ import annotations
 import functools
 import jax
 import jax.numpy as jnp
+from jax.experimental.custom_partitioning import custom_partitioning
+from jax.sharding import NamedSharding, PartitionSpec as P
 
 _MAX_TILE_ELEMS = 1 << 20  # per-operand VMEM budget (elements)
 
@@ -163,16 +165,31 @@ def _sd_core(xb, WA, WB, WC, bias_tiled, use_next: bool,
     """pallas_call on block-domain operands: xb [B, N, D_in] -> [B, N, D_out].
 
     ``shift``/``scale`` ([1, D_in], f32) fuse the previous layer's
-    instance-norm apply + ``act_name`` activation into the input read."""
+    instance-norm apply + ``act_name`` activation into the input read.
+
+    Routed through a ``custom_partitioning`` wrapper: the kernel is
+    batch-parallel (the grid's first axis is B; all cross-row logic stays
+    within one sequence), so under a multi-device mesh GSPMD/Shardy runs it
+    per-shard over the batch axis instead of replicating the full batch on
+    every device (``pallas_call`` has no built-in SPMD rule — without this,
+    a jit with a data-sharded batch silently all-gathers the input)."""
+    B, nb, D_in = xb.shape
+    in_norm = shift is not None
+    if not in_norm:
+        shift = jnp.zeros((B, 1, D_in), jnp.float32)
+        scale = jnp.ones((B, 1, D_in), jnp.float32)
+    return _sd_core_spmd(xb, WA, WB, WC, bias_tiled, shift, scale,
+                         use_next, in_norm, act_name)
+
+
+def _sd_core_local(xb, WA, WB, WC, bias_tiled, shift, scale,
+                   use_next: bool, in_norm: bool, act_name: str | None):
+    """The raw (single-shard) pallas_call; operands all explicit."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     B, nb, D_in = xb.shape
     D_out = WA.shape[1]
-    in_norm = shift is not None
-    if not in_norm:
-        shift = jnp.zeros((B, 1, D_in), jnp.float32)
-        scale = jnp.ones((B, 1, D_in), jnp.float32)
     TB = _pick_tile(nb, D_in)
     nT = nb // TB
     np8 = TB // 8  # 8-row panels per tile
@@ -217,6 +234,43 @@ def _sd_core(xb, WA, WB, WC, bias_tiled, use_next: bool,
         out_shape=jax.ShapeDtypeStruct((B, nT * TB, D_out), xb.dtype),
         interpret=_INTERPRET,
     )(xb, xb, xb, WA, WB, WC, bias_tiled, shift, scale)
+
+
+def _dim0_sharding(s, ndim: int) -> NamedSharding:
+    """Keep only the batch (dim-0) entry of an operand sharding; every other
+    dim of the kernel's operands must be whole per shard."""
+    spec = getattr(s, 'spec', None)
+    d0 = spec[0] if spec is not None and len(spec) > 0 else None
+    return NamedSharding(s.mesh, P(*((d0,) + (None,) * (ndim - 1))))
+
+
+def _spmd_infer(use_next, in_norm, act_name, mesh, arg_shapes, result_shape):
+    return _dim0_sharding(arg_shapes[0].sharding, len(result_shape.shape))
+
+
+def _spmd_partition(use_next, in_norm, act_name, mesh, arg_shapes, result_shape):
+    x_sh = _dim0_sharding(arg_shapes[0].sharding, 3)
+    rep2 = NamedSharding(x_sh.mesh, P(None, None))
+
+    def lower(xb, WA, WB, WC, bias_tiled, shift, scale):
+        return _sd_core_local(xb, WA, WB, WC, bias_tiled, shift, scale,
+                              use_next, in_norm, act_name)
+
+    arg_sh = (x_sh, rep2, rep2, rep2, rep2, x_sh, x_sh)
+    return mesh, lower, x_sh, arg_sh
+
+
+_sd_core_spmd = functools.partial(custom_partitioning, static_argnums=(7, 8, 9))(
+    _sd_core_local
+)
+# Shardy factor rule: only the batch factor ``b`` is shared between operands
+# and result, so propagation can shard the kernel over batch and nothing
+# else; ``partition`` pins the per-shard layout (weights replicated).
+_sd_core_spmd.def_partition(
+    infer_sharding_from_operands=_spmd_infer,
+    partition=_spmd_partition,
+    sharding_rule='b n i, c d, e f, g h, j k, b l m, b o p -> b q r',
+)
 
 
 def _embedded_operands(kernel, bias, r: int, stride: int, dtype):

@@ -12,7 +12,6 @@ signal subsets expressed via presence masks (no retraces).
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Any, Callable, Optional
 
 import flax.struct
@@ -245,25 +244,25 @@ def batch_shardings(mesh, batch):
 
 def parallelize_train_step(train_step, mesh, state, example_batch):
     """Jit the train step with DP shardings: replicated state, data-sharded
-    batch. XLA inserts the gradient psum over ICI."""
+    batch. XLA inserts the gradient psum over ICI. Shardings are passed as
+    pytree PREFIXES, so one jitted step serves every input-transport
+    encoding (f32 / bf16 / q8 code+peak tuples) without restructuring."""
     rep = NamedSharding(mesh, P())
-    st_sh = state_shardings(mesh, state)
-    b_sh = batch_shardings(mesh, example_batch)
+    dsh = NamedSharding(mesh, P(DATA_AXIS))
     return jax.jit(
         train_step,
-        in_shardings=(st_sh, b_sh, rep),
-        out_shardings=(st_sh, rep),
+        in_shardings=(rep, dsh, rep),
+        out_shardings=(rep, rep),
         donate_argnums=(0,),
     )
 
 
-def parallelize_eval_step(eval_step, mesh, params, batch_stats, example_batch, with_present=False):
+def parallelize_eval_step(eval_step, mesh, params, batch_stats, example_batch):
+    """Jit the eval step with DP shardings: replicated params/stats,
+    data-sharded batch. The 4th (``present``) argument is left
+    unconstrained — it is either None or a dict of tiny per-night [B] bool
+    masks, and jit retraces per pytree structure anyway."""
+    del params, batch_stats, example_batch  # prefix shardings cover any tree
     rep = NamedSharding(mesh, P())
-    p_sh = jax.tree_util.tree_map(lambda _: rep, params)
-    bs_sh = jax.tree_util.tree_map(lambda _: rep, batch_stats) if batch_stats is not None else None
-    b_sh = batch_shardings(mesh, example_batch)
-    pres_sh = jax.tree_util.tree_map(lambda _: NamedSharding(mesh, P(DATA_AXIS)), {})
-    del pres_sh
-    if with_present:
-        return jax.jit(eval_step, in_shardings=(p_sh, bs_sh, b_sh, None), out_shardings=None)
-    return jax.jit(partial(eval_step, present=None), in_shardings=(p_sh, bs_sh, b_sh))
+    dsh = NamedSharding(mesh, P(DATA_AXIS))
+    return jax.jit(eval_step, in_shardings=(rep, rep, dsh, None))
