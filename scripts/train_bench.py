@@ -125,43 +125,62 @@ def main() -> None:
     chain(1)  # page-warm
     compute_s = float(np.median([(chain(args.k) - chain(1)) / (args.k - 1) for _ in range(args.reps)]))
 
-    # End-to-end: per-step host staging (bf16 cast or q8 encode into two
-    # pooled slots) + H2D transfer + per-step metric fetch — the
-    # Trainer.train_epoch protocol, which software-pipelines batch n+1's
-    # staging/transfer under step n's compute (stage, dispatch, stage-next,
-    # fetch).
+    # End-to-end: the Trainer.train_epoch protocol — per-step host staging
+    # (bf16 cast or q8 encode into a pooled R-slot ring) + H2D transfer
+    # pipelined under in-flight compute, with metrics drained every 16
+    # steps (deferred fetch: the old per-step fetch bounded the pipeline to
+    # one transfer in flight). Slot reuse is guarded by block_until_ready
+    # on the transfer staged R batches ago, exactly like Trainer._ring_slot.
     host_y = np.asarray(y)
+    R = 4
     if args.transport == 'q8':
         from wav2sleep_tpu.ops.q8_transport import encode_batch
 
-        pools = [{}, {}]
+        pools = [{} for _ in range(R)]
 
         def stage(i: int):
-            return encode_batch(raw_x, slot=pools[i % 2])
+            return encode_batch(raw_x, slot=pools[i % R])
 
     else:
         # Cast each step from the loader-dtype (f32) source into pooled
         # compute-dtype slots, exactly like Trainer._stage_batch.
         slots = [
             {k: np.empty(v.shape, np.asarray(x[k]).dtype) for k, v in raw_x.items()}
-            for _ in range(2)
+            for _ in range(R)
         ]
 
         def stage(i: int):
-            dst = slots[i % 2]
+            dst = slots[i % R]
             for k_, v in raw_x.items():
                 np.copyto(dst[k_], v, casting='same_kind')
             return dst
 
+    inflight: list = [None] * R
+
+    def put(i: int):
+        j = i % R
+        if inflight[j] is not None:
+            jax.block_until_ready(inflight[j])
+        dev = (jax.device_put(stage(i)), jax.device_put(host_y))
+        inflight[j] = dev
+        return dev
+
     def e2e_steps(k: int) -> float:
         t0 = time.time()
         s = state
-        dev = (jax.device_put(stage(0)), jax.device_put(host_y))
+        pend: list = []
+        dev = put(0)
         for i in range(k):
             s, m = step(s, dev, rng)
             if i + 1 < k:
-                dev = (jax.device_put(stage(i + 1)), jax.device_put(host_y))
-            float(m['loss'])
+                dev = put(i + 1)
+            pend.append(m['loss'])
+            if len(pend) >= 16:
+                for p in pend:
+                    float(p)
+                pend.clear()
+        for p in pend:
+            float(p)
         return time.time() - t0
 
     e2e_steps(1)

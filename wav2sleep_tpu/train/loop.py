@@ -173,6 +173,14 @@ class Trainer:
     eval_subsets: bool = True
     max_steps_per_epoch: Optional[int] = None  # debug cap
     progress_bar: bool = True  # smoothed tqdm (reference CustomTQDMProgressBar)
+    # Pipeline depth: metrics of step n are fetched only every K steps (the
+    # per-step fetch serialized transfer behind compute: the host could not
+    # issue transfer n+2 until step n's metrics arrived), so up to
+    # ``stage_ring`` H2D transfers ride under in-flight compute. Slot reuse
+    # is guarded by an explicit block-until-ready on the transfer staged
+    # ``stage_ring`` batches ago (no longer implied by the metric fetch).
+    metric_fetch_every: int = 16
+    stage_ring: int = 4
 
     state: TrainState = field(default=None, repr=False)
     current_epoch: int = 0
@@ -230,23 +238,38 @@ class Trainer:
             logger.info(f'Initialized model with {n_params:,} parameters.')
         if self._jit_train is None:
             if self.mesh is not None:
-                from .step import parallelize_train_step
+                from .step import parallelize_eval_step, parallelize_train_step
 
                 x, y = example_batch if isinstance(example_batch, tuple) else (example_batch, None)
                 self._jit_train = parallelize_train_step(self._train_step, self.mesh, self.state, (x, y))
+                self._jit_eval = parallelize_eval_step(
+                    self._eval_step, self.mesh, self.state.params, self.state.batch_stats, (x, y)
+                )
             else:
                 self._jit_train = jax.jit(self._train_step, donate_argnums=(0,))
-            self._jit_eval = jax.jit(self._eval_step)
+                self._jit_eval = jax.jit(self._eval_step)
 
-    def _bf16_cast(self, x):
+    def _ring_slot(self):
+        """Claim the next staging-ring slot: returns (slot_dict, idx) after
+        blocking on the H2D transfer that last used this slot (the reuse
+        guard — a pooled host buffer may be rewritten only once its previous
+        transfer completed; with deferred metric fetches that is no longer
+        implied by step completion)."""
+        if getattr(self, '_ring_pool', None) is None:
+            R = max(2, self.stage_ring)
+            self._ring_pool = [{} for _ in range(R)]
+            self._ring_inflight = [None] * R
+            self._ring_idx = 0
+        j = self._ring_idx
+        self._ring_idx = (self._ring_idx + 1) % len(self._ring_pool)
+        if self._ring_inflight[j] is not None:
+            jax.block_until_ready(self._ring_inflight[j])
+            self._ring_inflight[j] = None
+        return self._ring_pool[j], j
+
+    def _bf16_cast(self, x, slot):
         import ml_dtypes
 
-        pool = getattr(self, '_bf16_pool', None)
-        if pool is None:
-            pool = self._bf16_pool = [{}, {}]
-            self._bf16_slot = 0
-        slot = pool[self._bf16_slot]
-        self._bf16_slot = 1 - self._bf16_slot
         out = {}
         for k, v in x.items():
             buf = slot.get(k)
@@ -286,35 +309,30 @@ class Trainer:
 
     def _stage_batch(self, x, y):
         """Host-side staging: optional bf16 cast / q8 encode into a pooled
-        slot, then an (async) H2D transfer. Called one batch AHEAD of the
-        step consuming it, so the transfer overlaps the in-flight step's
-        device compute."""
+        ring slot, then an (async) H2D transfer. Called one batch AHEAD of
+        the step consuming it; with the deferred metric fetch up to
+        ``stage_ring`` transfers are in flight under device compute. The
+        returned device batch is recorded against its ring slot so
+        ``_ring_slot`` can guard reuse (page-warm pooled buffers: fresh
+        large allocations fault at ~12 MB/s on sandboxed hosts)."""
+        slot_idx = None
         if self.input_transport == 'q8':
-            # Pooled two-slot encode; slot reuse is safe for the same reason
-            # as the bf16 pool below (per-step metric fetch).
             from ..ops.q8_transport import encode_batch
 
-            pool = getattr(self, '_q8_pool', None)
-            if pool is None:
-                pool = self._q8_pool = [{}, {}]
-                self._q8_slot = 0
-            x = encode_batch(x, slot=pool[self._q8_slot])
-            self._q8_slot = 1 - self._q8_slot
+            slot, slot_idx = self._ring_slot()
+            x = encode_batch(x, slot=slot)
         elif self.precision == 'bfloat16':
             # The train step casts inputs to bf16 anyway (mixed precision);
             # casting on the host first halves H2D bytes with bit-identical
             # results (polarity flip and the -inf sentinel are exact in
-            # bf16, and the z-score already happened in f32). Cast into
-            # page-warm pooled buffers (fresh large allocations fault at
-            # ~12 MB/s on sandboxed hosts). Two alternating slots suffice
-            # ONLY because train_epoch fetches metrics['cmat'] to host every
-            # step: with one-batch-ahead staging, slot s is re-cast only
-            # after the metrics of the step that CONSUMED slot s's transfer
-            # have been fetched, which proves that transfer finished. A
-            # refactor that defers the metric fetch must grow this pool.
-            x = self._bf16_cast(x)
+            # bf16, and the z-score already happened in f32).
+            slot, slot_idx = self._ring_slot()
+            x = self._bf16_cast(x, slot)
         self._ensure_state((x, y))
-        return self._device_batch(x, y)
+        dev = self._device_batch(x, y)
+        if slot_idx is not None:
+            self._ring_inflight[slot_idx] = dev
+        return dev
 
     def train_epoch(self, epoch: int) -> dict[str, float]:
         losses = []
@@ -323,9 +341,22 @@ class Trainer:
         t0 = time.time()
         n = 0
         # Software pipeline: dispatch step n (async), stage batch n+1 so its
-        # H2D transfer rides under step n's compute, THEN block on step n's
-        # metrics. The old order (fetch, then transfer) left the device idle
-        # for the whole transfer: measured 603 -> ~350 ms/step e2e at B=4.
+        # H2D transfer rides under in-flight compute, and only drain metrics
+        # every ``metric_fetch_every`` steps — the old per-step fetch bounded
+        # the pipeline to ONE transfer in flight (the host could not issue
+        # transfer n+2 until step n completed), leaving the device idle for
+        # most of each transfer. Deferring the drain lets transfers stack up
+        # to ``stage_ring`` deep under compute; the drain (which blocks on
+        # the newest dispatched step) bounds how far the host runs ahead.
+        pending: list = []
+
+        def drain():
+            for m in pending:
+                losses.append(m['loss'])
+                cmat_np = np.asarray(m['cmat'], np.int64)
+                np.add(cmat, cmat_np, out=cmat)
+            pending.clear()
+
         host_it = iter(self._progress(self.datamodule.train_loader(epoch), f'train e{epoch}'))
         nxt = next(host_it, None)
         dev = self._stage_batch(*nxt) if nxt is not None else None
@@ -337,9 +368,11 @@ class Trainer:
             dev = self._stage_batch(*nxt) if nxt is not None else None
             if self._host_ema is not None:
                 self._update_host_ema()
-            losses.append(metrics['loss'])
-            cmat += np.asarray(metrics['cmat'], np.int64)
+            pending.append(metrics)
+            if len(pending) >= max(1, self.metric_fetch_every):
+                drain()
             n += 1
+        drain()
         if not losses:
             raise ValueError('Empty training epoch - no batches produced.')
         loss = float(jnp.mean(jnp.stack(losses)))
