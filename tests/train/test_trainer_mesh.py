@@ -1,0 +1,79 @@
+"""Trainer end-to-end on a multi-device mesh: fit + full eval matrix +
+checkpoint save/restore on a 4-way data-parallel CPU mesh must reproduce the
+single-device run (reference role: Lightning DDP runs the same train/val
+loops on every rank, src/wav2sleep/trainer/main.py:188-224).
+
+Round-1/2 lesson: untested distributed surfaces ship broken — the jitted
+train step was mesh-tested but ``Trainer.fit``/``evaluate``/checkpointing
+never ran under a mesh before this file.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+
+from wav2sleep_tpu.parallel.mesh import make_mesh
+
+from tests.train.test_trainer_smoke import corpus, make_trainer  # noqa: F401
+
+pytestmark = pytest.mark.skipif(
+    jax.device_count() < 4, reason='needs the multi-device CPU mesh (conftest XLA_FLAGS)'
+)
+
+
+def _mesh4():
+    return make_mesh(jax.devices()[:4], data=4, model=1)
+
+
+def test_fit_on_mesh_matches_single_device(corpus, tmp_path):  # noqa: F811
+    common = dict(epochs=2, masker=None, flip_polarity=False)
+    single = make_trainer(corpus, tmp_path / 'single', **common)
+    final_single = single.fit()
+
+    meshed = make_trainer(corpus, tmp_path / 'mesh', mesh=_mesh4(), **common)
+    final_mesh = meshed.fit()
+
+    assert set(final_mesh) == set(final_single)
+    # Same seeds, same batch order, same augmentation stream — the only
+    # difference is the psum reduction order, so metrics agree to float
+    # tolerance across the whole eval matrix (combined + per-dataset +
+    # signal-subset entries).
+    for key, v in final_single.items():
+        np.testing.assert_allclose(
+            final_mesh[key], v, rtol=2e-3, atol=2e-3, err_msg=f'metric {key} diverged on mesh'
+        )
+    assert 'val_ECG_loss_mesa' in final_mesh  # subset matrix ran under the mesh
+
+    # Test-mode eval matrix on the mesh.
+    test_metrics = meshed.evaluate('test')
+    assert np.isfinite(test_metrics['test_loss_mesa'])
+
+    # Prediction variants (full / ECG-only / ECG+THX) through the sharded
+    # eval graph.
+    _, loader = meshed.datamodule.test_loaders()[0]
+    preds = meshed.predict(loader)
+    assert preds['preds'].shape == preds['labels'].shape
+    assert 'preds_ECG' in preds and 'preds_ECG_THX' in preds
+
+
+def test_checkpoint_roundtrip_on_mesh(corpus, tmp_path):  # noqa: F811
+    run = tmp_path / 'run'
+    t1 = make_trainer(corpus, run, epochs=1, mesh=_mesh4(), masker=None, flip_polarity=False)
+    t1.fit()
+    step_before = int(t1.state.step)
+    assert step_before > 0
+
+    t2 = make_trainer(corpus, run, epochs=2, mesh=_mesh4(), masker=None, flip_polarity=False)
+    start_epoch = t2.restore('last')
+    assert start_epoch == 1
+    assert int(t2.state.step) == step_before
+    for a, b in zip(
+        jax.tree_util.tree_leaves(t1.state.params), jax.tree_util.tree_leaves(t2.state.params)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # Restored state must drive the sharded eval + further training.
+    metrics = t2.evaluate('val', epoch=1)
+    assert np.isfinite(metrics['val_loss'])
+    t2.fit(resume_from='last')
+    assert int(t2.state.step) > step_before

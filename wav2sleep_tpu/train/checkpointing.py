@@ -65,6 +65,16 @@ class CheckpointManager:
         with open(self._meta_path(name), 'w') as f:
             json.dump(meta, f)
 
+    def _saved_keys(self, path: str) -> set[str] | None:
+        """Top-level keys of a saved checkpoint (orbax item metadata), or
+        None when metadata is unavailable (older/foreign checkpoints)."""
+        try:
+            md = self._ckptr.metadata(path)
+            return set(md.item_metadata.tree.keys())
+        except Exception as e:
+            logger.debug(f'checkpoint metadata unavailable for {path}: {e}')
+            return None
+
     def restore(self, trainer, which: str = 'last') -> int:
         """Restore into ``trainer``; returns the epoch to resume from."""
         # ``which`` may be a bare name ('last'/'best') under self.root, or a
@@ -72,7 +82,10 @@ class CheckpointManager:
         # under self.root (a stray cwd entry named 'last' must not shadow
         # the run's checkpoint); anything containing a separator is treated
         # as a path.
-        if os.path.isabs(which) or (os.sep in which and os.path.exists(which)):
+        # Any separator means "filesystem path" even if it doesn't exist —
+        # falling through to root-join would make the FileNotFoundError name
+        # a doubly-joined path instead of the one the user typed.
+        if os.path.isabs(which) or os.sep in which:
             path = os.path.abspath(which)
         else:
             path = os.path.join(self.root, which)
@@ -88,36 +101,41 @@ class CheckpointManager:
         template = {'state': jax.device_get(trainer.state), 'rng': jax.device_get(trainer.rng)}
         if getattr(trainer, '_host_ema', None) is not None:
             template['host_ema'] = trainer._host_ema
-        try:
+        # Reconcile the template with the checkpoint's actual top-level keys
+        # (orbax item metadata) instead of exception-driven retries: a real
+        # restore failure (shape/dtype mismatch, corruption) must surface as
+        # itself, not as the second attempt's error or a misleading
+        # "no host_ema" warning.
+        saved_keys = self._saved_keys(path)
+        has_ema = 'host_ema' in saved_keys if saved_keys is not None else 'host_ema' in template
+        if 'host_ema' in template and not has_ema:
+            # Checkpoint predates ema_offload (no host_ema entry): restore
+            # without it and seed the host EMA from the restored parameters.
+            restored = self._ckptr.restore(
+                path, {k: v for k, v in template.items() if k != 'host_ema'}
+            )
+            restored['host_ema'] = jax.tree_util.tree_map(
+                lambda v: np.array(v), restored['state'].params
+            )
+            logger.warning(
+                'Checkpoint has no host_ema entry (saved without '
+                'ema_offload); initialized the offloaded EMA from the '
+                'restored parameters.'
+            )
+        elif 'host_ema' not in template and has_ema:
+            # Checkpoint carries a host_ema this trainer does not use:
+            # restore with a placeholder, then drop it.
+            template['host_ema'] = jax.tree_util.tree_map(
+                lambda v: np.array(v), template['state'].params
+            )
             restored = self._ckptr.restore(path, template)
-        except Exception:
-            if 'host_ema' in template:
-                # Checkpoint predates ema_offload (no host_ema entry):
-                # restore without it and seed the host EMA from the
-                # restored parameters.
-                restored = self._ckptr.restore(
-                    path, {k: v for k, v in template.items() if k != 'host_ema'}
-                )
-                restored['host_ema'] = jax.tree_util.tree_map(
-                    lambda v: np.array(v), restored['state'].params
-                )
-                logger.warning(
-                    'Checkpoint has no host_ema entry (saved without '
-                    'ema_offload); initialized the offloaded EMA from the '
-                    'restored parameters.'
-                )
-            else:
-                # Checkpoint carries a host_ema this trainer does not use:
-                # restore with it present, then drop it.
-                template['host_ema'] = jax.tree_util.tree_map(
-                    lambda v: np.array(v), template['state'].params
-                )
-                restored = self._ckptr.restore(path, template)
-                logger.warning(
-                    'Checkpoint carries an offloaded EMA but ema_offload is '
-                    'disabled; the EMA weights were ignored.'
-                )
-                restored.pop('host_ema', None)
+            logger.warning(
+                'Checkpoint carries an offloaded EMA but ema_offload is '
+                'disabled; the EMA weights were ignored.'
+            )
+            restored.pop('host_ema', None)
+        else:
+            restored = self._ckptr.restore(path, template)
         trainer.state = restored['state']
         trainer.rng = restored['rng']
         if 'host_ema' in restored:
