@@ -24,7 +24,6 @@ Baseline: 5,000 recordings/hour on a v5e-8 => 625 recordings/hour/chip
 from __future__ import annotations
 
 import argparse
-import datetime
 import json
 import os
 import tempfile
@@ -42,40 +41,19 @@ BASELINE_PER_CHIP = 5000.0 / 8.0  # recordings/hour/chip
 # raw pipeline, real bucket geometry — is what gets timed.
 SOURCE_RATES = {
     'grid': {'ECG': 1024 / 30, 'Pleth': 1024 / 30, 'ABDO RES': 256 / 30, 'THOR RES': 256 / 30},
-    'offgrid': {'ECG': 125.0, 'Pleth': 256.0, 'ABDO RES': 10.0, 'THOR RES': 10.0},
+    'offgrid': None,  # wav2sleep_tpu.data.synth.RATES (NSRR-realistic)
 }
 
 
 def generate_edfs(
     folder: str, n_nights: int, hours: float, seed: int = 0, source_rates: str = 'offgrid'
 ) -> list[str]:
-    """Synthetic 4-signal overnight EDFs at grid or NSRR-realistic rates."""
-    from wav2sleep_tpu.data.edf import write_edf
+    """Distinct realistic-morphology overnight EDFs (QRS-wavelet ECG,
+    pulsatile PPG, breathing-shaped respiration — wav2sleep_tpu/data/synth.py)
+    at grid or NSRR-realistic rates."""
+    from wav2sleep_tpu.data.synth import write_nights
 
-    rng = np.random.default_rng(seed)
-    n_records = int(hours * 120)
-    rates = SOURCE_RATES[source_rates]
-    fps = []
-    for i in range(n_nights):
-        n_per = {name: int(round(fs * 30)) * n_records for name, fs in rates.items()}
-        t_e = np.arange(n_per['ECG'])
-        signals = {
-            'ECG': (np.sin(t_e / 12.0) + 0.1 * rng.normal(size=n_per['ECG'])) * 800.0,
-            'Pleth': np.sin(np.arange(n_per['Pleth']) / 30.0) * 0.7,
-            'ABDO RES': np.sin(np.arange(n_per['ABDO RES']) / 40.0) * 0.6,
-            'THOR RES': np.sin(np.arange(n_per['THOR RES']) / 40.0 + 0.5) * 0.6,
-        }
-        fp = os.path.join(folder, f'night{i:03d}.edf')
-        write_edf(
-            fp,
-            signals=signals,
-            sampling_freqs=rates,
-            units={'ECG': 'uV'},
-            physical_ranges={'ECG': (-2000, 2000), 'Pleth': (-1, 1), 'ABDO RES': (-1, 1), 'THOR RES': (-1, 1)},
-            record_duration=30.0,
-            start=datetime.datetime(2002, 3, 1, 22, 0, 0),
-        )
-        fps.append(fp)
+    fps, _ = write_nights(folder, n_nights, hours, seed, rates=SOURCE_RATES[source_rates])
     return fps
 
 
@@ -130,10 +108,42 @@ def main():
     model, _cfg = _flagship_model(feature_dim=args.feature_dim)
 
     # --- generate corpus (not timed) ---
-    tmp = tempfile.mkdtemp(prefix='w2s_bench_')
-    n_files = min(args.nights, 8)  # distinct files; re-queued to reach --nights
-    fps = generate_edfs(tmp, n_files, args.hours, source_rates=args.source_rates)
-    work = [fps[i % n_files] for i in range(args.nights)]
+    # Every night is a DISTINCT file: steady-state serving never re-reads
+    # the same EDF, so the timed passes cover --nights distinct decodes
+    # (pass 1 is the coldest-ish figure — pooled buffers warm, file bytes
+    # from the page cache; later passes re-read warm files). The corpus is
+    # cached on disk across runs (generation is ~7 s/night on this host).
+    cache = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        '.cache',
+        'bench_corpus',
+        f'{args.source_rates}_{args.nights}x{args.hours:g}h',
+    )
+    fps = sorted(
+        os.path.join(cache, f) for f in (os.listdir(cache) if os.path.isdir(cache) else [])
+        if f.endswith('.edf')
+    )
+    if len(fps) != args.nights:
+        tmp = tempfile.mkdtemp(prefix='w2s_bench_')
+        fps = generate_edfs(tmp, args.nights, args.hours, source_rates=args.source_rates)
+        try:
+            os.makedirs(cache, exist_ok=True)
+            import shutil
+
+            for fp in fps:
+                shutil.copy(fp, cache)
+        except OSError:
+            pass  # cache is best-effort; benchmark proceeds from tmp
+        else:
+            fps = [os.path.join(cache, os.path.basename(fp)) for fp in fps]
+    else:
+        # Re-touch cached files so pass 1 reads from the page cache rather
+        # than faulting cold storage (documented warm protocol).
+        for fp in fps:
+            with open(fp, 'rb') as f:
+                while f.read(1 << 22):
+                    pass
+    work = list(fps)
 
     # --- params: abstract init + random materialization (not timed) ---
     dtype = jnp.bfloat16 if args.precision == 'bfloat16' else jnp.float32
@@ -159,7 +169,7 @@ def main():
         compile_s = time.time() - t0
         # Page-warm pooled buffers + OS page cache (untimed, see below).
         for raw, meta in pipe._bufs:
-            for i, fp in enumerate(fps):
+            for i, fp in enumerate(fps[: args.batch]):
                 pipe.extractor.extract_into(fp, raw, meta, i % args.batch)
         for _ in pipe.run(work[: args.batch]):
             pass
@@ -180,7 +190,7 @@ def main():
         # forward — this VM faults fresh mappings at ~12 MB/s, which is a
         # cold-start cost, not pipeline throughput.
         for raw, meta in pipe._bufs:
-            for i, fp in enumerate(fps):
+            for i, fp in enumerate(fps[: args.batch]):
                 pipe.extractor.extract_into(fp, raw, meta, i % args.batch)
         for _ in pipe.run(work[: args.batch]):
             pass
@@ -197,7 +207,7 @@ def main():
         pipe.warmup()  # compile + first-touch the pooled buffers (not timed)
         compile_s = time.time() - t0
         for buf in pipe._bufs:
-            for i, fp in enumerate(fps):
+            for i, fp in enumerate(fps[: args.batch]):
                 pipe.decoder.decode_into(fp, {c: buf[c][i % args.batch] for c in signals})
         import jax.numpy as jnp
 

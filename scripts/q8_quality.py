@@ -25,7 +25,6 @@ configuration.
 from __future__ import annotations
 
 import argparse
-import datetime
 import json
 import os
 import sys
@@ -36,95 +35,7 @@ import numpy as np
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-RATES = {'ECG': 125.0, 'Pleth': 256.0, 'ABDO RES': 10.0, 'THOR RES': 10.0}
-EDF_TO_COL = {'ECG': 'ECG', 'Pleth': 'PPG', 'ABDO RES': 'ABD', 'THOR RES': 'THX'}
-
-# Per-stage signal physiology (Wake / Light / Deep / REM). Deliberately
-# strong signatures: the aim is a model with genuine cross-night skill whose
-# decision margins reflect *trained* behavior, not clinical realism. (With
-# subtle signatures a 1M-param model just memorizes the handful of synthetic
-# train nights and never generalizes — measured eval acc below chance.)
-STAGE_HR = np.array([1.4, 1.1, 0.7, 1.0])
-STAGE_HRV = np.array([0.05, 0.02, 0.01, 0.25])
-STAGE_RESP_AMP = np.array([0.2, 0.55, 0.95, 0.35])
-STAGE_RESP_HZ = np.array([0.35, 0.25, 0.16, 0.30])
-STAGE_ECG_NOISE = np.array([80.0, 20.0, 5.0, 35.0])
-
-
-def synth_stages(rng: np.random.Generator, n_epochs: int) -> np.ndarray:
-    """Stage sequence with realistic dwell (~20-epoch geometric segments)."""
-    stages = []
-    while len(stages) < n_epochs:
-        stage = int(rng.integers(0, 4))
-        stages.extend([stage] * int(rng.geometric(1 / 20.0)))
-    return np.asarray(stages[:n_epochs], np.int32)
-
-
-def synth_night(rng: np.random.Generator, hours: float) -> tuple[dict, np.ndarray]:
-    """Stage-modulated signals (amplitudes in channel-native units)."""
-    n_epochs = int(hours * 120)
-    stages = synth_stages(rng, n_epochs)
-
-    def per_sample(fs, values):
-        return np.repeat(values[stages], int(round(fs * 30)))
-
-    t_ecg = np.arange(int(RATES['ECG'] * 30) * n_epochs) / RATES['ECG']
-    hr = per_sample(RATES['ECG'], STAGE_HR) * (
-        1 + per_sample(RATES['ECG'], STAGE_HRV) * np.sin(2 * np.pi * t_ecg / 20.0)
-    )
-    phase = np.cumsum(hr) / RATES['ECG']
-    frac = phase - np.floor(phase)
-    ecg = 800.0 * np.exp(-0.5 * ((frac - 0.5) / 0.02) ** 2)
-    ecg -= 120.0 * np.exp(-0.5 * ((frac - 0.56) / 0.05) ** 2)
-    ecg += 60.0 * np.sin(2 * np.pi * 0.1 * t_ecg)
-    ecg += per_sample(RATES['ECG'], STAGE_ECG_NOISE) * rng.normal(size=len(t_ecg))
-    for ep in np.flatnonzero(stages == 0)[:: max(1, n_epochs // 40)]:  # wake artifacts
-        s = int(ep * RATES['ECG'] * 30)
-        ecg[s : s + int(RATES['ECG'] * 5)] *= 5.0
-
-    t_ppg = np.arange(int(RATES['Pleth'] * 30) * n_epochs) / RATES['Pleth']
-    pulse_phase = np.cumsum(np.interp(t_ppg, t_ecg, hr)) / RATES['Pleth']
-    ppg = 0.4 * (1 + np.cos(2 * np.pi * (pulse_phase % 1.0))) * (
-        1 + 0.15 * np.sin(2 * np.pi * 0.25 * t_ppg)
-    ) + 0.02 * rng.normal(size=len(t_ppg))
-
-    t_resp = np.arange(int(RATES['ABDO RES'] * 30) * n_epochs) / RATES['ABDO RES']
-    amp = per_sample(RATES['ABDO RES'], STAGE_RESP_AMP)
-    for ep in np.flatnonzero(stages == 3)[:: max(1, n_epochs // 60)]:  # REM apneas
-        s = int(ep * RATES['ABDO RES'] * 30)
-        amp[s : s + int(RATES['ABDO RES'] * 20)] = 0.05
-    resp_phase = 2 * np.pi * np.cumsum(per_sample(RATES['ABDO RES'], STAGE_RESP_HZ)) / RATES['ABDO RES']
-    abd = amp * np.sin(resp_phase) + 0.02 * rng.normal(size=len(t_resp))
-    thx = amp * np.sin(resp_phase + 0.6) + 0.02 * rng.normal(size=len(t_resp))
-    signals = {'ECG': ecg, 'Pleth': ppg, 'ABDO RES': abd, 'THOR RES': thx}
-    return signals, stages
-
-
-def write_nights(folder: str, n_nights: int, hours: float, seed: int):
-    from wav2sleep_tpu.data.edf import write_edf
-
-    rng = np.random.default_rng(seed)
-    fps, labels = [], []
-    for i in range(n_nights):
-        signals, stages = synth_night(rng, hours)
-        fp = os.path.join(folder, f'night{i:03d}.edf')
-        write_edf(
-            fp,
-            signals=signals,
-            sampling_freqs=RATES,
-            units={'ECG': 'uV'},
-            physical_ranges={
-                'ECG': (-6000, 6000),
-                'Pleth': (-1, 1),
-                'ABDO RES': (-1, 1),
-                'THOR RES': (-1, 1),
-            },
-            record_duration=30.0,
-            start=datetime.datetime(2002, 3, 1, 22, 0, 0),
-        )
-        fps.append(fp)
-        labels.append(stages)
-    return fps, np.stack(labels)
+from wav2sleep_tpu.data.synth import write_nights  # noqa: E402  (shared generator)
 
 
 def zscore_host(x: np.ndarray) -> np.ndarray:

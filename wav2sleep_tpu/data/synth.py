@@ -1,0 +1,228 @@
+"""Synthetic overnight polysomnography with realistic signal morphology.
+
+Shared by ``bench.py``, ``scripts/q8_quality.py`` and the test suite so every
+measured number (throughput, q8 quality, transport parity) runs on waveforms
+with the structure that actually stresses the pipeline: QRS complexes with
+sharp R-waves (where mu-law quantization bites), stage-modulated heart rate
+and HRV, baseline wander, movement artifacts, pulsatile PPG, and
+breathing-shaped respiration with apnea dropouts — not bare sinusoids.
+
+Signal names use EDF channel conventions (``Pleth``, ``ABDO RES`` ...); the
+ingest alias tables map them onto the model columns (reference
+src/wav2sleep/data/edf.py:15-33).
+"""
+
+from __future__ import annotations
+
+import datetime
+import os
+
+import numpy as np
+
+# NSRR-realistic source rates (SHHS ECG 125 Hz, MESA PPG 256 Hz, resp 10 Hz):
+# off-grid vs the model grid, so decoding exercises the real lerp path.
+RATES = {'ECG': 125.0, 'Pleth': 256.0, 'ABDO RES': 10.0, 'THOR RES': 10.0}
+EDF_TO_COL = {'ECG': 'ECG', 'Pleth': 'PPG', 'ABDO RES': 'ABD', 'THOR RES': 'THX'}
+
+# Per-stage signal physiology (Wake / Light / Deep / REM). Deliberately
+# strong signatures: the aim is a model with genuine cross-night skill whose
+# decision margins reflect *trained* behavior, not clinical realism. (With
+# subtle signatures a 1M-param model just memorizes the handful of synthetic
+# train nights and never generalizes — measured eval acc below chance.)
+STAGE_HR = np.array([1.4, 1.1, 0.7, 1.0])
+STAGE_HRV = np.array([0.05, 0.02, 0.01, 0.25])
+STAGE_RESP_AMP = np.array([0.2, 0.55, 0.95, 0.35])
+STAGE_RESP_HZ = np.array([0.35, 0.25, 0.16, 0.30])
+STAGE_ECG_NOISE = np.array([80.0, 20.0, 5.0, 35.0])
+
+
+def synth_stages(rng: np.random.Generator, n_epochs: int) -> np.ndarray:
+    """Stage sequence with realistic dwell (~20-epoch geometric segments)."""
+    stages = []
+    while len(stages) < n_epochs:
+        stage = int(rng.integers(0, 4))
+        stages.extend([stage] * int(rng.geometric(1 / 20.0)))
+    return np.asarray(stages[:n_epochs], np.int32)
+
+
+# Scratch pool: fresh large allocations page-fault at ~12 MB/s on the
+# sandboxed VM (see CLAUDE.md), so all per-night arrays are float32, built
+# in-place in pooled buffers that persist across nights (the naive f64
+# expression-temporary version measured ~25-50 s PER NIGHT; this one ~1 s).
+_SCRATCH: dict[str, np.ndarray] = {}
+
+
+def _scratch(key: str, n: int, dtype=np.float32) -> np.ndarray:
+    buf = _SCRATCH.get(key)
+    if buf is None or buf.size < n or buf.dtype != dtype:
+        buf = _SCRATCH[key] = np.empty(n, dtype)
+    return buf[:n]
+
+
+def _time_grid(key: str, fs: float, n: int) -> np.ndarray:
+    """Cached seconds grid (constant across same-length nights)."""
+    grid = _SCRATCH.get(key)
+    if grid is None or grid.size != n:
+        grid = np.arange(n, dtype=np.float32)
+        grid /= np.float32(fs)
+        _SCRATCH[key] = grid
+    return grid
+
+
+def synth_night(
+    rng: np.random.Generator, hours: float, rates: dict | None = None
+) -> tuple[dict, np.ndarray]:
+    """Stage-modulated signals (amplitudes in channel-native units).
+
+    ECG: Gaussian R-wave (sigma 20 ms) + negative T-ish deflection on a
+    stage-modulated instantaneous heart rate with HRV, 0.1 Hz baseline
+    wander, stage-dependent broadband noise and 5-s wake movement artifacts.
+    PPG: pulse waves phase-locked to the same heart rate with respiratory
+    amplitude modulation. ABD/THX: stage-modulated breathing with REM
+    apnea-like dropouts and a fixed thoraco-abdominal phase lag.
+
+    The returned arrays live in a shared scratch pool and are overwritten by
+    the next call — consume (write/copy) them before synthesizing again.
+    """
+    R = RATES if rates is None else rates
+    n_epochs = int(hours * 120)
+    stages = synth_stages(rng, n_epochs)
+    two_pi = np.float32(2 * np.pi)
+
+    def per_sample_into(out: np.ndarray, fs: float, values: np.ndarray) -> np.ndarray:
+        spe = int(round(fs * 30))
+        out.reshape(n_epochs, spe)[:] = values[stages].astype(np.float32)[:, None]
+        return out
+
+    # --- ECG ---
+    fs_e = R['ECG']
+    n_e = int(fs_e * 30) * n_epochs
+    t_e = _time_grid('t_ecg', fs_e, n_e)
+    a = _scratch('a', n_e)  # HRV envelope -> instantaneous HR
+    b = _scratch('b', n_e)
+    np.multiply(t_e, two_pi / np.float32(20.0), out=b)
+    np.sin(b, out=b)
+    b *= per_sample_into(a, fs_e, STAGE_HRV)
+    b += np.float32(1.0)
+    b *= per_sample_into(a, fs_e, STAGE_HR)  # b = hr
+    phase = np.cumsum(b, dtype=np.float64, out=_scratch('phase64', n_e, np.float64))
+    phase /= fs_e
+    np.mod(phase, 1.0, out=phase)
+    frac = _scratch('frac', n_e)
+    frac[:] = phase  # f64 beat phase -> f32 (cumsum in f64: f32 drifts ~0.3 beats)
+    ecg = _scratch('out_ecg', n_e)
+    np.subtract(frac, np.float32(0.5), out=ecg)  # R wave
+    ecg /= np.float32(0.02)
+    np.square(ecg, out=ecg)
+    ecg *= np.float32(-0.5)
+    np.exp(ecg, out=ecg)
+    ecg *= np.float32(800.0)
+    np.subtract(frac, np.float32(0.56), out=b)  # T-ish deflection
+    b /= np.float32(0.05)
+    np.square(b, out=b)
+    b *= np.float32(-0.5)
+    np.exp(b, out=b)
+    b *= np.float32(120.0)
+    ecg -= b
+    np.multiply(t_e, two_pi * np.float32(0.1), out=b)  # baseline wander
+    np.sin(b, out=b)
+    b *= np.float32(60.0)
+    ecg += b
+    rng.standard_normal(out=b, dtype=np.float32)
+    b *= per_sample_into(a, fs_e, STAGE_ECG_NOISE)
+    ecg += b
+    for ep in np.flatnonzero(stages == 0)[:: max(1, n_epochs // 40)]:  # wake artifacts
+        s = int(ep * fs_e * 30)
+        ecg[s : s + int(fs_e * 5)] *= np.float32(5.0)
+
+    # --- PPG (pulse phase from the same stagewise HR law, on its own grid) ---
+    fs_p = R['Pleth']
+    n_p = int(fs_p * 30) * n_epochs
+    t_p = _time_grid('t_ppg', fs_p, n_p)
+    ap = _scratch('ap', n_p)
+    bp = _scratch('bp', n_p)
+    np.multiply(t_p, two_pi / np.float32(20.0), out=bp)
+    np.sin(bp, out=bp)
+    bp *= per_sample_into(ap, fs_p, STAGE_HRV)
+    bp += np.float32(1.0)
+    bp *= per_sample_into(ap, fs_p, STAGE_HR)  # bp = hr on the ppg grid
+    pphase = np.cumsum(bp, dtype=np.float64, out=_scratch('pphase64', n_p, np.float64))
+    pphase /= fs_p
+    np.mod(pphase, 1.0, out=pphase)
+    ppg = _scratch('out_ppg', n_p)
+    ppg[:] = pphase
+    ppg *= two_pi
+    np.cos(ppg, out=ppg)
+    ppg += np.float32(1.0)
+    ppg *= np.float32(0.4)
+    np.multiply(t_p, two_pi * np.float32(0.25), out=bp)  # respiratory AM
+    np.sin(bp, out=bp)
+    bp *= np.float32(0.15)
+    bp += np.float32(1.0)
+    ppg *= bp
+    rng.standard_normal(out=bp, dtype=np.float32)
+    bp *= np.float32(0.02)
+    ppg += bp
+
+    # --- Respiration (small arrays; same in-place discipline) ---
+    fs_r = R['ABDO RES']
+    n_r = int(fs_r * 30) * n_epochs
+    amp = _scratch('amp', n_r)
+    per_sample_into(amp, fs_r, STAGE_RESP_AMP)
+    for ep in np.flatnonzero(stages == 3)[:: max(1, n_epochs // 60)]:  # REM apneas
+        s = int(ep * fs_r * 30)
+        amp[s : s + int(fs_r * 20)] = np.float32(0.05)
+    hz = _scratch('hz', n_r)
+    per_sample_into(hz, fs_r, STAGE_RESP_HZ)
+    rphase = np.cumsum(hz, dtype=np.float64, out=_scratch('rphase64', n_r, np.float64))
+    rphase *= 2 * np.pi / fs_r
+    abd = _scratch('out_abd', n_r)
+    thx = _scratch('out_thx', n_r)
+    abd[:] = rphase
+    np.sin(abd, out=abd)
+    abd *= amp
+    thx[:] = rphase
+    thx += np.float32(0.6)
+    np.sin(thx, out=thx)
+    thx *= amp
+    rng.standard_normal(out=hz, dtype=np.float32)
+    hz *= np.float32(0.02)
+    abd += hz
+    rng.standard_normal(out=hz, dtype=np.float32)
+    hz *= np.float32(0.02)
+    thx += hz
+
+    signals = {'ECG': ecg, 'Pleth': ppg, 'ABDO RES': abd, 'THOR RES': thx}
+    return signals, stages
+
+
+def write_night_edf(fp: str, signals: dict, rates: dict | None = None, start=None) -> None:
+    from .edf import write_edf
+
+    write_edf(
+        fp,
+        signals=signals,
+        sampling_freqs=RATES if rates is None else rates,
+        units={'ECG': 'uV'},
+        physical_ranges={
+            'ECG': (-6000, 6000),
+            'Pleth': (-1, 1),
+            'ABDO RES': (-1, 1),
+            'THOR RES': (-1, 1),
+        },
+        record_duration=30.0,
+        start=start or datetime.datetime(2002, 3, 1, 22, 0, 0),
+    )
+
+
+def write_nights(folder: str, n_nights: int, hours: float, seed: int, rates: dict | None = None):
+    """N distinct realistic-morphology EDF nights; returns (paths, labels)."""
+    rng = np.random.default_rng(seed)
+    fps, labels = [], []
+    for i in range(n_nights):
+        signals, stages = synth_night(rng, hours, rates)
+        fp = os.path.join(folder, f'night{i:03d}.edf')
+        write_night_edf(fp, signals, rates)
+        fps.append(fp)
+        labels.append(stages)
+    return fps, np.stack(labels)
