@@ -166,6 +166,47 @@ class Conv1D(nn.Module):
                 mu_c, inv_c, act_name = fused_in
                 x_NTC = bd.apply_norm_act(x_NTC, mu_c, inv_c, pallas_conv._in_act(act_name))
             x_NTC = from_blocks(x_NTC)  # unsupported config: demote
+        import os as _os
+
+        if (
+            self.block_domain
+            and not blocked_in
+            and fused_in is None
+            and in_features == 1
+            and self.dilation == 1
+            and self.groups == 1
+            and bd.block_path_enabled()
+            and self.features in (16, 32, 64, 128)
+            # A/B knob (trace-time), mirrors WAV2SLEEP_DISABLE_BLOCK_PATH.
+            and not _os.environ.get('WAV2SLEEP_DISABLE_ENTRY_PACK')
+        ):
+            # Single-channel entry convs write PACKED output directly (one
+            # matmul into the block layout) instead of a channels-last map
+            # followed by a to_blocks relayout — the measured ~9 ms entry
+            # pack and ~5 ms cnn_0 residual pack (docs/design.md).
+            r = 128 // self.features
+            T = x_NTC.shape[1]
+            if (
+                self.kernel_size == 3
+                and self.stride == 1
+                and self.padding == (1, 1)
+                and T % r == 0
+                and T >= bd.MIN_PROMOTE_LENGTH
+            ):
+                return bd.entry_conv_blocks(x_NTC, kernel, bias)
+            if (
+                self.kernel_size == 1
+                and self.stride == 2
+                and self.padding == (0, 0)
+                and T % (2 * r) == 0
+                and T // 2 >= bd.MIN_PROMOTE_LENGTH
+            ):
+                yb = bd.entry_ds_1x1_s2_blocks(x_NTC, kernel)
+                if bias is not None:
+                    yb = yb.replace(
+                        data=yb.data + jnp.tile(bias, r).astype(yb.data.dtype)
+                    )
+                return yb
         y = None
         if self.dilation == 1 and self.groups == 1:
             y = _conv_mxu_friendly(x_NTC, kernel.astype(x_NTC.dtype), self.stride, self.padding)

@@ -94,6 +94,58 @@ def from_blocks(xb: BlockedArray) -> jnp.ndarray:
     return xb.data.reshape(B, N * xb.r, xb.channels)
 
 
+def entry_conv_blocks(x_BT1: jnp.ndarray, kernel: jnp.ndarray, bias) -> BlockedArray:
+    """k=3 stride-1 pad-(1,1) conv from a SINGLE-channel input straight into
+    the packed block domain — the encoder entry conv (cnn_0/conv1).
+
+    The plain path computes channels-last [B, T, Co] on the VPU and then
+    pays a ~9 ms to_blocks relayout at the largest shape; here the three
+    conv taps become one [B, N, 3r] @ [3r, 128] MXU matmul whose output IS
+    the packed layout (feature s*Co + c), so no relayout ever happens.
+    Rows are built from the free [B, T] -> [B, N, r] reshape plus two
+    one-sample shifts.
+    """
+    k, Ci, Co = kernel.shape
+    if k != 3 or Ci != 1:
+        raise ValueError(f'entry_conv_blocks needs a [3, 1, Co] kernel, got {kernel.shape}')
+    B, T, _ = x_BT1.shape
+    r = 128 // Co
+    N = T // r
+    xr = x_BT1.reshape(B, N, r)
+    zeros_col = jnp.zeros((B, 1, 1), x_BT1.dtype)
+    prev_last = jnp.concatenate([zeros_col, xr[:, :-1, -1:]], axis=1)  # x[rn - 1]
+    next_first = jnp.concatenate([xr[:, 1:, :1], zeros_col], axis=1)  # x[rn + r]
+    xm1 = jnp.concatenate([prev_last, xr[:, :, :-1]], axis=2)
+    xp1 = jnp.concatenate([xr[:, :, 1:], next_first], axis=2)
+    wins = jnp.concatenate([xm1, xr, xp1], axis=2)  # [B, N, 3r]
+    W = jnp.zeros((3 * r, r * Co), kernel.dtype)
+    for j in range(3):
+        for s in range(r):
+            W = W.at[j * r + s, s * Co:(s + 1) * Co].set(kernel[j, 0])
+    out = wins @ W.astype(x_BT1.dtype)
+    if bias is not None:
+        out = out + jnp.tile(bias, r).astype(out.dtype)
+    return BlockedArray(data=out, channels=Co)
+
+
+def entry_ds_1x1_s2_blocks(x_BT1: jnp.ndarray, kernel: jnp.ndarray) -> BlockedArray:
+    """1x1 stride-2 conv from a single-channel input straight into the
+    packed block domain — cnn_0's residual downsample (reference
+    blocks.py:45-53 role). Even-phase extraction via a free reshape, then
+    one [B, N, r] @ [r, 128] matmul into packed layout (no to_blocks)."""
+    _, Ci, Co = kernel.shape
+    if Ci != 1:
+        raise ValueError(f'entry_ds_1x1_s2_blocks needs a [1, 1, Co] kernel, got {kernel.shape}')
+    B, T, _ = x_BT1.shape
+    r = 128 // Co
+    N = T // (2 * r)
+    xe = x_BT1.reshape(B, N, r, 2)[..., 0]  # even phase [B, N, r]
+    W = jnp.zeros((r, r * Co), kernel.dtype)
+    for s in range(r):
+        W = W.at[s, s * Co:(s + 1) * Co].set(kernel[0, 0])
+    return BlockedArray(data=xe @ W.astype(x_BT1.dtype), channels=Co)
+
+
 def bmap(fn, x):
     """Apply an elementwise fn in whichever domain ``x`` lives in."""
     if isinstance(x, BlockedArray):
