@@ -8,10 +8,11 @@ the device expands, applies the digital->physical affine, z-scores and runs
 the batched bf16 forward in one jitted graph. Source EDFs default to
 NSRR-realistic OFF-GRID rates (ECG 125 Hz / PPG 256 Hz / resp 10 Hz) so the
 real lerp path is what gets timed (--source-rates grid for the identity
-fast path). q8 quality is measured end-to-end by scripts/q8_quality.py:
-98.6% hypnogram agreement / kappa 0.977 vs the lossless f32 path and a
--0.17% end-task accuracy delta, flips confined to near-tie decision
-margins. Lossless transports are selectable
+fast path). q8 quality is measured end-to-end by scripts/q8_quality.py
+on the realistic-morphology corpus (QRS-wavelet ECG etc.,
+wav2sleep_tpu/data/synth.py): 97.4% hypnogram agreement / kappa 0.964 vs
+the lossless f32 path and a ~0% end-task accuracy delta, flips confined
+to near-tie decision margins. Lossless transports are selectable
 (--pipeline q16/raw/f32) and remain the default for the library's
 predict_on_folder API path.
 
