@@ -46,7 +46,7 @@ def build(force: bool = False) -> str | None:
     srcs = _sources()
     if not srcs:
         return None
-    cmd = ['g++', '-O3', '-std=c++17', '-shared', '-fPIC', '-o', _LIB_PATH, *srcs]
+    cmd = ['g++', '-O3', '-march=native', '-std=c++17', '-shared', '-fPIC', '-o', _LIB_PATH, *srcs]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=300)
     except (OSError, subprocess.SubprocessError) as e:

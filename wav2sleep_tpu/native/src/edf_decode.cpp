@@ -83,11 +83,6 @@ int64_t w2s_resample_q16(
     for (int64_t j = 0; j < m; ++j) out[j] = 0;
     return 0;
   }
-  auto sample = [&](int64_t i) -> double {
-    const int64_t rec = i / ch_spr;
-    const int64_t within = i - rec * ch_spr;
-    return static_cast<double>(records[rec * record_stride + ch_offset + within]);
-  };
   const double ratio = step * fs;
   if (ratio == 1.0) {
     // Source already on the model grid: pos_j = j+1 exactly -> strided copy.
@@ -100,7 +95,12 @@ int64_t w2s_resample_q16(
     for (int64_t k = n_valid; k < m; ++k) out[k] = 0;
     return n_valid;
   }
+  // Incremental source cursor: pos advances by a fixed ratio, so i0's
+  // (record, offset) decomposition is maintained by carrying instead of
+  // recomputed with two integer divisions per output sample (the divisions
+  // dominated this loop — ~28 ns/sample measured — and blocked all ILP).
   int64_t n_valid = m;
+  int64_t rec = 0, within = 0, i_last = 0;
   for (int64_t j = 0; j < m; ++j) {
     const double pos = (static_cast<double>(j) + 1.0) * ratio;
     if (pos > static_cast<double>(n - 1)) {
@@ -109,9 +109,16 @@ int64_t w2s_resample_q16(
       break;
     }
     const int64_t i0 = static_cast<int64_t>(pos);
+    within += i0 - i_last;
+    i_last = i0;
+    while (within >= ch_spr) { within -= ch_spr; ++rec; }
+    const int16_t* row = records + rec * record_stride + ch_offset;
+    const double v0 = static_cast<double>(row[within]);
+    double v1;
+    if (within + 1 < ch_spr) v1 = static_cast<double>(row[within + 1]);
+    else if (rec + 1 < n_records) v1 = static_cast<double>(row[record_stride]);
+    else v1 = v0;
     const double frac = pos - static_cast<double>(i0);
-    const double v0 = sample(i0);
-    const double v1 = (i0 + 1 < n) ? sample(i0 + 1) : v0;
     out[j] = static_cast<int16_t>(std::lrint(v0 + frac * (v1 - v0)));
   }
   return n_valid;
@@ -142,10 +149,6 @@ int64_t w2s_resample_q8(
     *out_vmax = 1.0;
     return 0;
   }
-  auto sample = [&](int64_t i) -> double {
-    const int64_t rec = i / ch_spr;
-    return static_cast<double>(records[rec * record_stride + ch_offset + (i - rec * ch_spr)]);
-  };
   // Pass 1: per-channel digital peak over the raw samples.
   int32_t vmax_i = 1;
   for (int64_t r = 0; r < n_records; ++r) {
@@ -196,7 +199,9 @@ int64_t w2s_resample_q8(
     for (int64_t k = n_valid; k < m; ++k) out[k] = 0;
     return n_valid;
   }
+  // Same incremental division-free cursor as w2s_resample_q16 above.
   int64_t n_valid = m;
+  int64_t rec = 0, within = 0, i_last = 0;
   for (int64_t j = 0; j < m; ++j) {
     const double pos = (static_cast<double>(j) + 1.0) * ratio;
     if (pos > static_cast<double>(n - 1)) {
@@ -205,9 +210,16 @@ int64_t w2s_resample_q8(
       break;
     }
     const int64_t i0 = static_cast<int64_t>(pos);
+    within += i0 - i_last;
+    i_last = i0;
+    while (within >= ch_spr) { within -= ch_spr; ++rec; }
+    const int16_t* row = records + rec * record_stride + ch_offset;
+    const double v0 = static_cast<double>(row[within]);
+    double v1;
+    if (within + 1 < ch_spr) v1 = static_cast<double>(row[within + 1]);
+    else if (rec + 1 < n_records) v1 = static_cast<double>(row[record_stride]);
+    else v1 = v0;
     const double frac = pos - static_cast<double>(i0);
-    const double v0 = sample(i0);
-    const double v1 = (i0 + 1 < n) ? sample(i0 + 1) : v0;
     const int32_t d = static_cast<int32_t>(std::lrint(v0 + frac * (v1 - v0)));
     out[j] = lut[static_cast<uint16_t>(static_cast<int16_t>(d))];
   }
