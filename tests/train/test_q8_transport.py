@@ -138,6 +138,9 @@ def test_trainer_epoch_with_q8_transport(tmp_path):
     trainer = make_trainer(root, str(tmp_path / 'run'), epochs=1, input_transport='q8')
     out = trainer.train_epoch(0)
     assert np.isfinite(out['train_loss'])
-    assert trainer._q8_pool is not None and len(trainer._q8_pool) == 2
+    # Pooled staging ring in use (stage_ring slots, transfer-guarded reuse).
+    assert trainer._ring_pool is not None
+    assert len(trainer._ring_pool) == max(2, trainer.stage_ring)
+    assert any(slot for slot in trainer._ring_pool)  # encode slots populated
     val = trainer.evaluate('val', 0)  # eval path stays lossless
     assert np.isfinite(val['val_loss'])
