@@ -120,8 +120,15 @@ def run(args) -> dict:
     from wav2sleep_tpu.data.nsrr import get_dataset
     from wav2sleep_tpu.stats import cohens_kappa, confusion_accuracy
 
-    model = api.load_model(args.model_folder)
+    # Resolve hf:// to the local snapshot up front so the torch loader below
+    # sees the same on-disk folder load_model reads (load_model resolves
+    # internally but does not expose the path).
+    from wav2sleep_tpu.hub import download_from_hub, is_hf_repo_id
+
     folder = args.model_folder
+    if is_hf_repo_id(folder):
+        folder = download_from_hub(folder)
+    model = api.load_model(folder)
     C = args.num_classes or model.num_classes
     valid = list(model.valid_signals)
     if args.subsets:
@@ -145,8 +152,7 @@ def run(args) -> dict:
 
     tmodel = None
     if args.torch:
-        tmodel = _load_reference_torch(folder if os.path.isdir(folder) else args.model_folder,
-                                       args.reference_src)
+        tmodel = _load_reference_torch(folder, args.reference_src)
 
     from wav2sleep_tpu.data.dataset import ParquetDataset
 

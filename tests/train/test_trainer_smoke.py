@@ -388,6 +388,35 @@ def test_ema_offload_matches_in_graph(corpus, tmp_path):
     )
 
 
+def test_restore_without_metadata_seeds_ema(corpus, tmp_path, monkeypatch, caplog):
+    """Metadata-unavailable restore path: a checkpoint saved WITHOUT
+    ema_offload, restored into an ema_offload trainer when orbax item
+    metadata cannot be read, must fall back to the no-host_ema retry and
+    seed the offloaded EMA from the restored params (not crash, and not
+    mask the error)."""
+    import logging
+
+    from wav2sleep_tpu.train.checkpointing import CheckpointManager
+
+    kw = dict(epochs=1, masker=None, flip_polarity=False)
+    t1 = make_trainer(corpus, tmp_path / 'no_ema', **kw)  # no EMA: no host_ema entry
+    t1.fit()
+
+    monkeypatch.setattr(CheckpointManager, '_saved_keys', lambda self, path: None)
+    t2 = make_trainer(
+        corpus, tmp_path / 'no_ema', ema_decay=0.9, ema_start_step=0, ema_offload=True, **kw
+    )
+    with caplog.at_level(logging.WARNING):
+        t2.restore('last')
+    assert t2._host_ema is not None
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(a, b),
+        t2._host_ema,
+        jax.device_get(t2.state.params),
+    )
+    assert any('host_ema' in r.message for r in caplog.records)
+
+
 def test_fit_bfloat16_precision(corpus, tmp_path):
     """Mixed-precision training (bf16 compute, host-cast bf16 batches) runs
     and produces finite losses and a usable confusion matrix."""

@@ -95,8 +95,11 @@ def synth_night(
         return out
 
     # --- ECG ---
+    # Samples-per-epoch uses int(round(...)) everywhere so buffer sizes agree
+    # with per_sample_into's reshape for arbitrary (non-grid) rates.
     fs_e = R['ECG']
-    n_e = int(fs_e * 30) * n_epochs
+    spe_e = int(round(fs_e * 30))
+    n_e = spe_e * n_epochs
     t_e = _time_grid('t_ecg', fs_e, n_e)
     a = _scratch('a', n_e)  # HRV envelope -> instantaneous HR
     b = _scratch('b', n_e)
@@ -132,12 +135,12 @@ def synth_night(
     b *= per_sample_into(a, fs_e, STAGE_ECG_NOISE)
     ecg += b
     for ep in np.flatnonzero(stages == 0)[:: max(1, n_epochs // 40)]:  # wake artifacts
-        s = int(ep * fs_e * 30)
+        s = int(ep) * spe_e
         ecg[s : s + int(fs_e * 5)] *= np.float32(5.0)
 
     # --- PPG (pulse phase from the same stagewise HR law, on its own grid) ---
     fs_p = R['Pleth']
-    n_p = int(fs_p * 30) * n_epochs
+    n_p = int(round(fs_p * 30)) * n_epochs
     t_p = _time_grid('t_ppg', fs_p, n_p)
     ap = _scratch('ap', n_p)
     bp = _scratch('bp', n_p)
@@ -166,11 +169,12 @@ def synth_night(
 
     # --- Respiration (small arrays; same in-place discipline) ---
     fs_r = R['ABDO RES']
-    n_r = int(fs_r * 30) * n_epochs
+    spe_r = int(round(fs_r * 30))
+    n_r = spe_r * n_epochs
     amp = _scratch('amp', n_r)
     per_sample_into(amp, fs_r, STAGE_RESP_AMP)
     for ep in np.flatnonzero(stages == 3)[:: max(1, n_epochs // 60)]:  # REM apneas
-        s = int(ep * fs_r * 30)
+        s = int(ep) * spe_r
         amp[s : s + int(fs_r * 20)] = np.float32(0.05)
     hz = _scratch('hz', n_r)
     per_sample_into(hz, fs_r, STAGE_RESP_HZ)

@@ -107,7 +107,34 @@ class CheckpointManager:
         # itself, not as the second attempt's error or a misleading
         # "no host_ema" warning.
         saved_keys = self._saved_keys(path)
-        has_ema = 'host_ema' in saved_keys if saved_keys is not None else 'host_ema' in template
+        if saved_keys is None and 'host_ema' in template:
+            # Metadata unavailable (older/foreign checkpoint): we cannot know
+            # whether it carries a host_ema entry. Try the full template; if
+            # that fails, retry without host_ema (checkpoint predates
+            # ema_offload) — and if the retry fails too, surface the ORIGINAL
+            # error, which describes the real problem.
+            try:
+                restored = self._ckptr.restore(path, template)
+            except Exception as first_err:
+                try:
+                    restored = self._ckptr.restore(
+                        path, {k: v for k, v in template.items() if k != 'host_ema'}
+                    )
+                except Exception:
+                    raise first_err
+                restored['host_ema'] = jax.tree_util.tree_map(
+                    lambda v: np.array(v), restored['state'].params
+                )
+                logger.warning(
+                    'Checkpoint (no readable metadata) restored without a '
+                    'host_ema entry; initialized the offloaded EMA from the '
+                    'restored parameters.'
+                )
+            trainer.state = restored['state']
+            trainer.rng = restored['rng']
+            trainer._host_ema = restored['host_ema']
+            return self._resume_epoch(trainer, meta_path)
+        has_ema = 'host_ema' in saved_keys if saved_keys is not None else False
         if 'host_ema' in template and not has_ema:
             # Checkpoint predates ema_offload (no host_ema entry): restore
             # without it and seed the host EMA from the restored parameters.
@@ -140,6 +167,11 @@ class CheckpointManager:
         trainer.rng = restored['rng']
         if 'host_ema' in restored:
             trainer._host_ema = restored['host_ema']
+        return self._resume_epoch(trainer, meta_path)
+
+    def _resume_epoch(self, trainer, meta_path: str) -> int:
+        """Apply sidecar metadata (epoch, early-stop/plateau state) and return
+        the epoch to resume from."""
         epoch = 0
         if os.path.exists(meta_path):
             with open(meta_path) as f:
@@ -157,5 +189,6 @@ class CheckpointManager:
                 trainer.early_stopping.load_state_dict(meta['early_stopping'])
             if meta.get('plateau') and trainer.plateau is not None:
                 trainer.plateau.load_state_dict(meta['plateau'])
+        path = meta_path[: -len('.meta.json')] if meta_path.endswith('.meta.json') else meta_path
         logger.info(f'Restored checkpoint from {path}; resuming at epoch {epoch}.')
         return epoch

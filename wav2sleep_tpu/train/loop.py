@@ -373,6 +373,15 @@ class Trainer:
                 drain()
             n += 1
         drain()
+        # Release the staging ring's device references: without this the last
+        # ``stage_ring`` staged batches stay pinned in HBM through the eval
+        # matrix and checkpointing. Block first — a still-inflight transfer
+        # guards its pooled host buffer via this same list.
+        if getattr(self, '_ring_inflight', None):
+            for j, d in enumerate(self._ring_inflight):
+                if d is not None:
+                    jax.block_until_ready(d)
+                    self._ring_inflight[j] = None
         if not losses:
             raise ValueError('Empty training epoch - no batches produced.')
         loss = float(jnp.mean(jnp.stack(losses)))

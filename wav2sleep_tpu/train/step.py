@@ -230,18 +230,6 @@ def make_eval_step(model, num_classes: int, family: str = 'wav2sleep') -> Callab
     return eval_step
 
 
-def state_shardings(mesh, state: TrainState):
-    """Replicated sharding for every leaf of the train state."""
-    rep = NamedSharding(mesh, P())
-    return jax.tree_util.tree_map(lambda _: rep, state)
-
-
-def batch_shardings(mesh, batch):
-    """Batch-axis sharding over the mesh's data axis."""
-    sh = NamedSharding(mesh, P(DATA_AXIS))
-    return jax.tree_util.tree_map(lambda _: sh, batch)
-
-
 def parallelize_train_step(train_step, mesh, state, example_batch):
     """Jit the train step with DP shardings: replicated state, data-sharded
     batch. XLA inserts the gradient psum over ICI. Shardings are passed as
