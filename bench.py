@@ -10,8 +10,8 @@ NSRR-realistic OFF-GRID rates (ECG 125 Hz / PPG 256 Hz / resp 10 Hz) so the
 real lerp path is what gets timed (--source-rates grid for the identity
 fast path). q8 quality is measured end-to-end by scripts/q8_quality.py
 on the realistic-morphology corpus (QRS-wavelet ECG etc.,
-wav2sleep_tpu/data/synth.py): 97.4% hypnogram agreement / kappa 0.964 vs
-the lossless f32 path and a ~0% end-task accuracy delta, flips confined
+wav2sleep_tpu/data/synth.py): 99.9% hypnogram agreement / kappa 0.998 vs
+the lossless f32 path and a -0.02% end-task accuracy delta, flips confined
 to near-tie decision margins. Lossless transports are selectable
 (--pipeline q16/raw/f32) and remain the default for the library's
 predict_on_folder API path.
@@ -120,19 +120,38 @@ def main():
         'bench_corpus',
         f'{args.source_rates}_{args.nights}x{args.hours:g}h',
     )
+    # Stamp the cache with a hash of the generator source so a changed
+    # wav2sleep_tpu/data/synth.py regenerates the corpus instead of silently
+    # benchmarking stale waveforms under the new generator's name.
+    import hashlib
+
+    from wav2sleep_tpu.data import synth as _synth_mod
+
+    with open(_synth_mod.__file__, 'rb') as f:
+        gen_stamp = hashlib.sha256(f.read()).hexdigest()
+    stamp_fp = os.path.join(cache, 'GENERATOR_STAMP')
+    try:
+        with open(stamp_fp) as f:
+            stamp_ok = f.read().strip() == gen_stamp
+    except OSError:
+        stamp_ok = False
     fps = sorted(
         os.path.join(cache, f) for f in (os.listdir(cache) if os.path.isdir(cache) else [])
         if f.endswith('.edf')
     )
-    if len(fps) != args.nights:
+    if len(fps) != args.nights or not stamp_ok:
         tmp = tempfile.mkdtemp(prefix='w2s_bench_')
         fps = generate_edfs(tmp, args.nights, args.hours, source_rates=args.source_rates)
         try:
-            os.makedirs(cache, exist_ok=True)
             import shutil
 
+            if os.path.isdir(cache):
+                shutil.rmtree(cache)  # stale generator output
+            os.makedirs(cache, exist_ok=True)
             for fp in fps:
                 shutil.copy(fp, cache)
+            with open(stamp_fp, 'w') as f:
+                f.write(gen_stamp + '\n')
         except OSError:
             pass  # cache is best-effort; benchmark proceeds from tmp
         else:

@@ -105,8 +105,16 @@ def main() -> None:
 
     tmp = tempfile.mkdtemp(prefix='w2s_q8q_')
     print('# synthesizing corpus...', file=sys.stderr)
-    train_fps, train_y = write_nights(tmp, args.train_nights, args.hours, seed=0)
-    eval_fps, eval_y = write_nights(tmp, args.eval_nights, args.hours, seed=1)
+    # Disjoint subfolders: write_nights names files night{i:03d}.edf, so
+    # sharing one folder would overwrite the first eval_nights train files
+    # with eval waveforms (while keeping the train labels) — contaminating
+    # both the train set and the train/eval split.
+    train_dir = os.path.join(tmp, 'train')
+    eval_dir = os.path.join(tmp, 'eval')
+    os.makedirs(train_dir)
+    os.makedirs(eval_dir)
+    train_fps, train_y = write_nights(train_dir, args.train_nights, args.hours, seed=0)
+    eval_fps, eval_y = write_nights(eval_dir, args.eval_nights, args.hours, seed=1)
     print('# corpus written; decoding...', file=sys.stderr)
     n_grid = {c: len(signal_target_grid(c, args.hours)) for c in signals}
 
