@@ -57,6 +57,25 @@ def test_fit_on_mesh_matches_single_device(corpus, tmp_path):  # noqa: F811
     assert 'preds_ECG' in preds and 'preds_ECG_THX' in preds
 
 
+def test_fit_on_mesh_q8_transport(corpus, tmp_path):  # noqa: F811
+    """q8 input transport on a mesh: the encoded batch pytree
+    ({signal: (int8 codes [B,T], f32 peaks [B], bool present [B])}) must
+    shard over the data axis through the same prefix shardings as the plain
+    batch, with the in-graph decode running per-shard."""
+    common = dict(epochs=1, masker=None, flip_polarity=False)
+    plain = make_trainer(corpus, tmp_path / 'plain', **common)
+    final_plain = plain.fit()
+
+    q8 = make_trainer(corpus, tmp_path / 'q8', mesh=_mesh4(), input_transport='q8', **common)
+    final_q8 = q8.fit()
+
+    assert set(final_q8) == set(final_plain)
+    assert np.isfinite(final_q8['val_loss'])
+    # q8 quantizes the INPUTS only (~0.4% of sample magnitude); on the
+    # separable toy corpus the training trajectory stays close to lossless.
+    np.testing.assert_allclose(final_q8['val_loss'], final_plain['val_loss'], rtol=0.15)
+
+
 def test_checkpoint_roundtrip_on_mesh(corpus, tmp_path):  # noqa: F811
     run = tmp_path / 'run'
     t1 = make_trainer(corpus, run, epochs=1, mesh=_mesh4(), masker=None, flip_polarity=False)
