@@ -203,12 +203,15 @@ def test_multi_tile_grid_parity(monkeypatch):
         N = (nb * 128) // (stride * (128 // Co) * Ci)
         assert N // pallas_conv._pick_tile(N, stride * (128 // Co) * Ci) >= 2, 'grid not multi-tile'
         np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), atol=1e-4, rtol=1e-4)
-    # Fused-input variant across tile boundaries.
+    # Fused-input variant across tile boundaries — stride 1 hits the
+    # pre-grouped (D_in=128) layout, stride 2 the raw in-kernel-regroup
+    # layout (D_in=256, 8-raw-row boundary panels).
     mu_c = jnp.asarray(rng.normal(size=(3, Ci)), jnp.float32)
     inv_c = jnp.asarray(np.abs(rng.normal(size=(3, Ci))) + 0.5, jnp.float32)
-    y = pallas_conv.sd_conv_blocks_fused(data, kernel, bias, mu_c, inv_c, Ci, Co, 1, 'gelu')
-    y_ref = pallas_conv._fused_reference(data, kernel, bias, mu_c, inv_c, Ci, Co, 1, 'gelu')
-    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), atol=1e-4, rtol=1e-4)
+    for stride in (1, 2):
+        y = pallas_conv.sd_conv_blocks_fused(data, kernel, bias, mu_c, inv_c, Ci, Co, stride, 'gelu')
+        y_ref = pallas_conv._fused_reference(data, kernel, bias, mu_c, inv_c, Ci, Co, stride, 'gelu')
+        np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), atol=1e-4, rtol=1e-4)
 
 
 def test_pack_roundtrip_and_norm():

@@ -123,20 +123,29 @@ def _in_act(name: str | None):
 
 def _conv_kernel(x_ref, xprev_ref, xnext_ref, wa_ref, wb_ref, wc_ref, b_ref,
                  sh_ref, sc_ref, y_ref, *, use_next: bool, out_dtype,
-                 in_norm: bool, act):
+                 in_norm: bool, act, TB: int, D_in: int, P: int):
     """Three clean MXU matmuls; the cross-block taps are realized by
     shifting the bf16 INPUT (one cheap concat per neighbor term) rather
     than the f32 output — measured at the VMEM copy floor (0.76 ms for
     [8, 153600, 128] vs 3.7 ms for the XLA im2col path). Optionally fuses
     the PREVIOUS layer's instance-norm apply + activation into the input
     read (shift/scale per feature), so the norm/gelu passes never touch
-    HBM."""
+    HBM.
+
+    When ``D_in > 128`` the operand arrives in its NATIVE [.., 128]-lane
+    block layout and the [TB*d, 128] -> [TB, D_in] row regroup happens
+    HERE, in VMEM (a lane-widening reshape Mosaic turns into register
+    shuffles) — replacing the XLA-side relayout that cost ~0.27 ms per
+    stride-2 / channel-transition conv (measured marginal-K, v5e bf16; the
+    lane-NARROWING direction for D_in=64 fails to compile in Mosaic, so
+    those convs keep the XLA reshape). ``P`` is the x'-rows per 8-row
+    boundary panel (8 when the operand is pre-grouped, 8*128//D_in raw)."""
     import jax.experimental.pallas as pl
 
     f32 = jnp.float32
-    xt = x_ref[0]  # [TB, D_in]
-    xm1r = xprev_ref[0, 7:8]  # last row of the panel ending at x'[t*TB-1]
-    xp1r = xnext_ref[0, 0:1]  # first row of the panel at x'[(t+1)*TB]
+    xt = x_ref[0].reshape(TB, D_in)  # regroup (no-op when pre-grouped)
+    xm1r = xprev_ref[0].reshape(P, D_in)[P - 1:P]  # row ending at x'[t*TB-1]
+    xp1r = xnext_ref[0].reshape(P, D_in)[0:1]  # first row at x'[(t+1)*TB]
     if in_norm:
         sh = sh_ref[0].astype(xt.dtype)
         sc = sc_ref[0].astype(xt.dtype)
@@ -173,7 +182,8 @@ def _sd_core(xb, WA, WB, WC, bias_tiled, use_next: bool,
     per-shard over the batch axis instead of replicating the full batch on
     every device (``pallas_call`` has no built-in SPMD rule — without this,
     a jit with a data-sharded batch silently all-gathers the input)."""
-    B, nb, D_in = xb.shape
+    B = xb.shape[0]
+    D_in = WA.shape[0]  # xb may be in native [B, nb, 128] layout (raw path)
     in_norm = shift is not None
     if not in_norm:
         shift = jnp.zeros((B, 1, D_in), jnp.float32)
@@ -184,15 +194,25 @@ def _sd_core(xb, WA, WB, WC, bias_tiled, use_next: bool,
 
 def _sd_core_local(xb, WA, WB, WC, bias_tiled, shift, scale,
                    use_next: bool, in_norm: bool, act_name: str | None):
-    """The raw (single-shard) pallas_call; operands all explicit."""
+    """The raw (single-shard) pallas_call; operands all explicit.
+
+    ``xb`` arrives either pre-grouped ([B, N, D_in], last dim == WA rows) or
+    — when D_in is a >128 multiple of 128 — in the native [B, nb, 128]
+    block layout, with the row regroup absorbed into the kernel's VMEM read
+    (see _conv_kernel)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    B, nb, D_in = xb.shape
-    D_out = WA.shape[1]
-    TB = _pick_tile(nb, D_in)
-    nT = nb // TB
-    np8 = TB // 8  # 8-row panels per tile
+    D_in, D_out = WA.shape
+    B, rows, lane = xb.shape
+    raw = lane != D_in  # native 128-lane layout; kernel regroups
+    N = rows if not raw else (rows * 128) // D_in
+    TB = _pick_tile(N, D_in)
+    nT = N // TB
+    P = 8 if not raw else (8 * 128) // D_in  # x'-rows per 8-row panel
+    npan = TB // P  # boundary panels per tile
+    x_block = (1, TB, D_in) if not raw else (1, TB * (D_in // 128), 128)
+    pan_block = (1, 8, D_in) if not raw else (1, 8, 128)
     # Tile-boundary neighbor rows are read straight from xb through two
     # extra 8-row-panel views with shifted (clamped) index maps: the panel
     # ending at x'[t*TB - 1] and the panel starting at x'[(t+1)*TB]. The
@@ -209,18 +229,21 @@ def _sd_core_local(xb, WA, WB, WC, bias_tiled, shift, scale,
             out_dtype=xb.dtype,
             in_norm=in_norm,
             act=_in_act(act_name),
+            TB=TB,
+            D_in=D_in,
+            P=P,
         ),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, TB, D_in), lambda b, t: (b, t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(x_block, lambda b, t: (b, t, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(
-                (1, 8, D_in),
-                lambda b, t: (b, jnp.maximum(t * np8 - 1, 0), 0),
+                pan_block,
+                lambda b, t: (b, jnp.maximum(t * npan - 1, 0), 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, 8, D_in),
-                lambda b, t: (b, jnp.minimum((t + 1) * np8, nT * np8 - 1), 0),
+                pan_block,
+                lambda b, t: (b, jnp.minimum((t + 1) * npan, nT * npan - 1), 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec((D_in, D_out), lambda b, t: (0, 0), memory_space=pltpu.VMEM),
@@ -303,14 +326,22 @@ def blocks_supported(nb: int, Ci: int, Co: int, stride: int) -> bool:
     return _pick_tile((nb * 128) // D_in, D_in) >= 8
 
 
+def _maybe_group(data, D_in: int):
+    """Pre-group [B, nb, 128] block data to [B, N, D_in] for the kernel —
+    except when D_in is a >128 multiple of 128, where the kernel absorbs the
+    regroup into its VMEM read (raw path) and the XLA relayout is skipped."""
+    B, nb, _ = data.shape
+    if D_in > 128 and D_in % 128 == 0:
+        return data
+    return data.reshape(B, (nb * 128) // D_in, D_in)
+
+
 @functools.partial(jax.jit, static_argnames=('Ci', 'Co', 'stride'))
 def _sd_conv_blocks_impl(data, kernel, bias, Ci, Co, stride):
-    B, nb, _ = data.shape
     r = 128 // Co
     D_in = stride * r * Ci
-    N = (nb * 128) // D_in
     WA, WB, WC, bias_tiled = _embedded_operands(kernel, bias, r, stride, data.dtype)
-    return _sd_core(data.reshape(B, N, D_in), WA, WB, WC, bias_tiled, use_next=stride == 1)
+    return _sd_core(_maybe_group(data, D_in), WA, WB, WC, bias_tiled, use_next=stride == 1)
 
 
 def _blocks_reference(data, kernel, bias, Ci, Co, stride):
@@ -364,13 +395,11 @@ def _tile_to_din(v_c, Ci: int, D_in: int):
 
 @functools.partial(jax.jit, static_argnames=('Ci', 'Co', 'stride', 'act'))
 def _sd_conv_blocks_fused_impl(data, kernel, bias, mu_c, inv_c, Ci, Co, stride, act):
-    B, nb, _ = data.shape
     r = 128 // Co
     D_in = stride * r * Ci
-    N = (nb * 128) // D_in
     WA, WB, WC, bias_tiled = _embedded_operands(kernel, bias, r, stride, data.dtype)
     return _sd_core(
-        data.reshape(B, N, D_in),
+        _maybe_group(data, D_in),
         WA, WB, WC, bias_tiled,
         use_next=stride == 1,
         shift=_tile_to_din(mu_c, Ci, D_in),
@@ -444,7 +473,10 @@ def embed_k1_s2_weights(kernel: jnp.ndarray, r: int) -> jnp.ndarray:
 
 def ds_1x1_s2_blocks(data, kernel, Ci: int, Co: int):
     """Block-domain 1x1 stride-2 conv as a single XLA matmul (natively
-    differentiable; the MXU shape [*, 2rCi] @ [2rCi, 128] is efficient)."""
+    differentiable; the MXU shape [*, 2rCi] @ [2rCi, 128] is efficient).
+    A k=d stride-d NHC conv formulation would avoid the D_in=256 row
+    regroup, but measured SLOWER end-to-end in training (the strided conv's
+    input-gradient lowering outweighs the relayout saving)."""
     B, nb, _ = data.shape
     r = 128 // Co
     D_in = 2 * r * Ci
