@@ -120,15 +120,20 @@ def main():
         'bench_corpus',
         f'{args.source_rates}_{args.nights}x{args.hours:g}h',
     )
-    # Stamp the cache with a hash of the generator source so a changed
-    # wav2sleep_tpu/data/synth.py regenerates the corpus instead of silently
-    # benchmarking stale waveforms under the new generator's name.
+    # Stamp the cache with a hash of everything that determines the on-disk
+    # corpus bytes — the waveform generator AND the EDF writer (int16
+    # quantization ranges, record layout) — so editing either regenerates
+    # the corpus instead of silently benchmarking stale waveforms under the
+    # new code's name.
     import hashlib
 
-    from wav2sleep_tpu.data import synth as _synth_mod
+    from wav2sleep_tpu.data import edf as _edf_mod, synth as _synth_mod
 
-    with open(_synth_mod.__file__, 'rb') as f:
-        gen_stamp = hashlib.sha256(f.read()).hexdigest()
+    h = hashlib.sha256()
+    for mod in (_synth_mod, _edf_mod):
+        with open(mod.__file__, 'rb') as f:
+            h.update(f.read())
+    gen_stamp = h.hexdigest()
     stamp_fp = os.path.join(cache, 'GENERATOR_STAMP')
     try:
         with open(stamp_fp) as f:

@@ -214,6 +214,23 @@ def test_multi_tile_grid_parity(monkeypatch):
         np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), atol=1e-4, rtol=1e-4)
 
 
+def test_non_power_of_two_din_stays_pregrouped(forced_block_path):
+    """D_in=384 (Ci=96, Co=64, stride=2) passes blocks_supported but cannot
+    take the raw in-kernel-regroup path (the 8-raw-row boundary panels don't
+    hold a whole number of 384-wide rows) — it must fall back to the
+    pre-grouped layout and still match the XLA reference."""
+    rng = np.random.default_rng(5)
+    Ci, Co, stride = 96, 64, 2
+    nb = 24  # nb*128 = 3072 = 8 * 384
+    assert pallas_conv.blocks_supported(nb, Ci, Co, stride)
+    kernel = jnp.asarray(rng.normal(size=(3, Ci, Co)) * 0.2, jnp.float32)
+    bias = jnp.asarray(rng.normal(size=(Co,)), jnp.float32)
+    data = jnp.asarray(rng.normal(size=(2, nb, 128)), jnp.float32)
+    y = pallas_conv.sd_conv_blocks(data, kernel, bias, Ci, Co, stride)
+    y_ref = pallas_conv._blocks_reference(data, kernel, bias, Ci, Co, stride)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), atol=1e-4, rtol=1e-4)
+
+
 def test_pack_roundtrip_and_norm():
     rng = np.random.default_rng(2)
     x = jnp.asarray(rng.normal(size=(2, 4096, 32)), jnp.float32)

@@ -328,10 +328,13 @@ def blocks_supported(nb: int, Ci: int, Co: int, stride: int) -> bool:
 
 def _maybe_group(data, D_in: int):
     """Pre-group [B, nb, 128] block data to [B, N, D_in] for the kernel —
-    except when D_in is a >128 multiple of 128, where the kernel absorbs the
-    regroup into its VMEM read (raw path) and the XLA relayout is skipped."""
+    except when the kernel can absorb the regroup into its VMEM read (raw
+    path), skipping the XLA relayout. The raw path additionally needs the
+    8-raw-row boundary panels to hold a whole number of regrouped rows
+    (1024 % D_in == 0) — e.g. D_in=384 (Ci=96, Co=64, s=2) passes
+    ``blocks_supported`` but must stay on the pre-grouped layout."""
     B, nb, _ = data.shape
-    if D_in > 128 and D_in % 128 == 0:
+    if D_in > 128 and D_in % 128 == 0 and 1024 % D_in == 0:
         return data
     return data.reshape(B, (nb * 128) // D_in, D_in)
 

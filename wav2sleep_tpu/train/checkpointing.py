@@ -107,49 +107,40 @@ class CheckpointManager:
         # itself, not as the second attempt's error or a misleading
         # "no host_ema" warning.
         saved_keys = self._saved_keys(path)
-        if saved_keys is None and 'host_ema' in template:
-            # Metadata unavailable (older/foreign checkpoint): we cannot know
-            # whether it carries a host_ema entry. Try the full template; if
-            # that fails, retry without host_ema (checkpoint predates
-            # ema_offload) — and if the retry fails too, surface the ORIGINAL
-            # error, which describes the real problem.
-            try:
-                restored = self._ckptr.restore(path, template)
-            except Exception as first_err:
-                try:
-                    restored = self._ckptr.restore(
-                        path, {k: v for k, v in template.items() if k != 'host_ema'}
-                    )
-                except Exception:
-                    raise first_err
-                restored['host_ema'] = jax.tree_util.tree_map(
-                    lambda v: np.array(v), restored['state'].params
-                )
-                logger.warning(
-                    'Checkpoint (no readable metadata) restored without a '
-                    'host_ema entry; initialized the offloaded EMA from the '
-                    'restored parameters.'
-                )
-            trainer.state = restored['state']
-            trainer.rng = restored['rng']
-            trainer._host_ema = restored['host_ema']
-            return self._resume_epoch(trainer, meta_path)
-        has_ema = 'host_ema' in saved_keys if saved_keys is not None else False
-        if 'host_ema' in template and not has_ema:
-            # Checkpoint predates ema_offload (no host_ema entry): restore
-            # without it and seed the host EMA from the restored parameters.
-            restored = self._ckptr.restore(
+
+        def _restore_seeding_ema():
+            # No host_ema entry in the checkpoint (it predates ema_offload):
+            # restore without it and seed the host EMA from the restored
+            # parameters.
+            out = self._ckptr.restore(
                 path, {k: v for k, v in template.items() if k != 'host_ema'}
             )
-            restored['host_ema'] = jax.tree_util.tree_map(
-                lambda v: np.array(v), restored['state'].params
+            out['host_ema'] = jax.tree_util.tree_map(
+                lambda v: np.array(v), out['state'].params
             )
             logger.warning(
                 'Checkpoint has no host_ema entry (saved without '
                 'ema_offload); initialized the offloaded EMA from the '
                 'restored parameters.'
             )
-        elif 'host_ema' not in template and has_ema:
+            return out
+
+        if saved_keys is None and 'host_ema' in template:
+            # Metadata unavailable (older/foreign checkpoint): we cannot know
+            # whether it carries a host_ema entry. Try the full template; if
+            # that fails, retry without host_ema — and if the retry fails
+            # too, surface the ORIGINAL error, which describes the real
+            # problem.
+            try:
+                restored = self._ckptr.restore(path, template)
+            except Exception as first_err:
+                try:
+                    restored = _restore_seeding_ema()
+                except Exception:
+                    raise first_err
+        elif 'host_ema' in template and 'host_ema' not in (saved_keys or ()):
+            restored = _restore_seeding_ema()
+        elif 'host_ema' not in template and saved_keys is not None and 'host_ema' in saved_keys:
             # Checkpoint carries a host_ema this trainer does not use:
             # restore with a placeholder, then drop it.
             template['host_ema'] = jax.tree_util.tree_map(
