@@ -20,6 +20,9 @@ pallas_conv._INTERPRET = True
 def forced_block_path(monkeypatch):
     monkeypatch.setattr(bd, 'FORCE_BLOCK_PATH', True)
     monkeypatch.setattr(bd, 'MIN_PROMOTE_LENGTH', 256)
+    # Exercise the in-kernel stats emission through the whole chain even
+    # while it is env-opt-in for production (see bd.KERNEL_STATS).
+    monkeypatch.setattr(bd, 'KERNEL_STATS', True)
     yield
     # monkeypatch restores
 
@@ -157,12 +160,18 @@ def test_encoder_block_path_multidevice_mesh(forced_block_path, monkeypatch):
     # proving the kernel was partitioned rather than replicated.
     shard_batches = []
     orig = pallas_conv._sd_core_local
+    orig_stats = pallas_conv._sd_core_stats_local
 
     def spy(xb, *args, **kwargs):
         shard_batches.append(xb.shape[0])
         return orig(xb, *args, **kwargs)
 
+    def spy_stats(xb, *args, **kwargs):
+        shard_batches.append(xb.shape[0])
+        return orig_stats(xb, *args, **kwargs)
+
     monkeypatch.setattr(pallas_conv, '_sd_core_local', spy)
+    monkeypatch.setattr(pallas_conv, '_sd_core_stats_local', spy_stats)
 
     enc = _encoder(256)
     rng = np.random.default_rng(7)
@@ -212,6 +221,27 @@ def test_multi_tile_grid_parity(monkeypatch):
         y = pallas_conv.sd_conv_blocks_fused(data, kernel, bias, mu_c, inv_c, Ci, Co, stride, 'gelu')
         y_ref = pallas_conv._fused_reference(data, kernel, bias, mu_c, inv_c, Ci, Co, stride, 'gelu')
         np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), atol=1e-4, rtol=1e-4)
+    # Stats-emitting variants: the in-kernel Chan/Welford merge only runs
+    # its cross-tile accumulation when nT > 1 — pin mu/inv against the
+    # two-pass block_stats reference on the same multi-tile grid (offset
+    # data so a mean-cancellation bug cannot hide).
+    data_off = data + jnp.float32(1.5)
+    for stride in (1, 2):
+        y, mu, inv = pallas_conv.sd_conv_blocks_stats(
+            data_off, kernel, bias, Ci, Co, stride, 1e-2)
+        y_ref = pallas_conv._blocks_reference(data_off, kernel, bias, Ci, Co, stride)
+        mu_ref, inv_ref = pallas_conv._stats_of_blocks(y_ref, Co, 1e-2)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), atol=1e-4, rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(mu), np.asarray(mu_ref), atol=1e-4, rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(inv), np.asarray(inv_ref), atol=1e-4, rtol=1e-4)
+        y, mu, inv = pallas_conv.sd_conv_blocks_fused_stats(
+            data_off, kernel, bias, mu_c, inv_c, Ci, Co, stride, 'gelu', 1e-2)
+        y_ref = pallas_conv._fused_reference(
+            data_off, kernel, bias, mu_c, inv_c, Ci, Co, stride, 'gelu')
+        mu_ref, inv_ref = pallas_conv._stats_of_blocks(y_ref, Co, 1e-2)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), atol=1e-4, rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(mu), np.asarray(mu_ref), atol=1e-4, rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(inv), np.asarray(inv_ref), atol=1e-4, rtol=1e-4)
 
 
 def test_non_power_of_two_din_stays_pregrouped(forced_block_path):

@@ -103,12 +103,16 @@ class Conv1D(nn.Module):
     # BlockedArrays and k3/k1 convs run the Pallas space-to-depth kernel.
     block_domain: bool = False
 
-    def _conv_blocked(self, xb: BlockedArray, kernel, bias, fused_in=None):
+    def _conv_blocked(self, xb: BlockedArray, kernel, bias, fused_in=None,
+                      emit_stats_eps=None):
         """Block-domain conv via the Pallas sd kernel (k=3) or an embedded
         matmul (k=1 stride-2 residual downsample); None if unsupported.
 
         ``fused_in=(mu_c, inv_c, act_name)`` folds the previous layer's
-        instance-norm apply + activation into the kernel's input read."""
+        instance-norm apply + activation into the kernel's input read.
+        ``emit_stats_eps`` additionally makes the kernel emit the output's
+        own instance-norm statistics (returns (BlockedArray, mu, inv)) —
+        the fused chain's block_stats passes never re-read the map."""
         if self.dilation != 1 or self.groups != 1:
             return None
         Ci, Co = xb.channels, self.features
@@ -119,6 +123,18 @@ class Conv1D(nn.Module):
             and pallas_conv.blocks_supported(nb, Ci, Co, self.stride)
         ):
             b = bias if bias is not None else jnp.zeros((Co,), kernel.dtype)
+            if emit_stats_eps is not None:
+                if fused_in is not None:
+                    mu_c, inv_c, act_name = fused_in
+                    data, mu, inv = pallas_conv.sd_conv_blocks_fused_stats(
+                        xb.data, kernel, b, mu_c, inv_c, Ci, Co, self.stride,
+                        act_name, emit_stats_eps
+                    )
+                else:
+                    data, mu, inv = pallas_conv.sd_conv_blocks_stats(
+                        xb.data, kernel, b, Ci, Co, self.stride, emit_stats_eps
+                    )
+                return BlockedArray(data=data, channels=Co), mu, inv
             if fused_in is not None:
                 mu_c, inv_c, act_name = fused_in
                 data = pallas_conv.sd_conv_blocks_fused(
@@ -143,7 +159,7 @@ class Conv1D(nn.Module):
         return None
 
     @nn.compact
-    def __call__(self, x_NTC, fused_in=None) -> jnp.ndarray:
+    def __call__(self, x_NTC, fused_in=None, emit_stats_eps=None) -> jnp.ndarray:
         blocked_in = isinstance(x_NTC, BlockedArray)
         in_features = x_NTC.channels if blocked_in else x_NTC.shape[-1]
         kshape = (self.kernel_size, in_features // self.groups, self.features)
@@ -157,7 +173,7 @@ class Conv1D(nn.Module):
             kernel = self.param('kernel', conv_kernel_init, kshape)
         bias = self.param('bias', nn.initializers.zeros, (self.features,)) if self.use_bias else None
         if blocked_in:
-            yb = self._conv_blocked(x_NTC, kernel, bias, fused_in)
+            yb = self._conv_blocked(x_NTC, kernel, bias, fused_in, emit_stats_eps)
             if yb is not None:
                 return yb
             if fused_in is not None:
@@ -254,7 +270,12 @@ class ConvLayer1D(nn.Module):
 
     @nn.compact
     def __call__(self, x_NTC, train: bool = False, fused_in=None,
-                 fused_emit_prenorm: bool = False) -> jnp.ndarray:
+                 fused_emit_prenorm: bool = False,
+                 emit_stats_eps=None) -> jnp.ndarray:
+        # emit_stats_eps is only meaningful together with fused_emit_prenorm
+        # (the fused-chain mode): the blocked conv then returns
+        # (pre-norm BlockedArray, mu, inv) with the output statistics
+        # computed inside the kernel.
         if self.causal:
             pad = (self.kernel_size - 1) * self.dilation
         else:
@@ -271,7 +292,8 @@ class ConvLayer1D(nn.Module):
             block_domain=self.block_domain and not self.causal,
             name='conv',
         )
-        out = conv(x_NTC, fused_in=fused_in)
+        out = conv(x_NTC, fused_in=fused_in,
+                   emit_stats_eps=emit_stats_eps if fused_emit_prenorm else None)
         if fused_emit_prenorm:
             # Fused chain (ConvBlock1D): the caller owns this layer's norm
             # + activation (folded into the NEXT conv's input read when the
@@ -346,6 +368,10 @@ class ConvBlock1D(nn.Module):
             # from one matmul-reduce pass per layer. HBM sees only the conv
             # outputs.
             eps = self.norm_eps if self.norm_eps is not None else 1e-5
+            # In-kernel stats emission (opt-in until TPU-validated): when
+            # off, emit_stats_eps=None and split() falls back to the
+            # two-pass block_stats read.
+            eps_emit = eps if bd.kernel_stats_enabled() else None
             act = get_activation(self.activation)
 
             def finish_plain(c):
@@ -359,21 +385,34 @@ class ConvBlock1D(nn.Module):
             # plain — a layer may fall back mid-chain when its shape misses
             # the kernel): blocked stages hand their norm+act to the next
             # conv's fused input read; plain stages get it applied here.
-            c1 = l1(x_NTC, train=train, fused_emit_prenorm=True)
+            # Blocked Pallas stages emit their own output statistics from
+            # inside the kernel ((c, mu, inv) tuples); block_stats is only
+            # the fallback for stages that produced a BlockedArray some
+            # other way (e.g. the single-channel entry conv).
+            def split(c):
+                if isinstance(c, tuple):
+                    return c
+                if isinstance(c, BlockedArray):
+                    return (c,) + bd.block_stats(c, eps)
+                return c, None, None
+
+            c1, mu1, inv1 = split(l1(x_NTC, train=train, fused_emit_prenorm=True,
+                                     emit_stats_eps=eps_emit))
             if isinstance(c1, BlockedArray):
-                mu1, inv1 = bd.block_stats(c1, eps)
                 c2 = l2(c1, train=train, fused_in=(mu1, inv1, self.activation),
-                        fused_emit_prenorm=True)
+                        fused_emit_prenorm=True, emit_stats_eps=eps_emit)
             else:
-                c2 = l2(finish_plain(c1), train=train, fused_emit_prenorm=True)
+                c2 = l2(finish_plain(c1), train=train, fused_emit_prenorm=True,
+                        emit_stats_eps=eps_emit)
+            c2, mu2, inv2 = split(c2)
             if isinstance(c2, BlockedArray):
-                mu2, inv2 = bd.block_stats(c2, eps)
                 c3 = l3(c2, train=train, fused_in=(mu2, inv2, self.activation),
-                        fused_emit_prenorm=True)
+                        fused_emit_prenorm=True, emit_stats_eps=eps_emit)
             else:
-                c3 = l3(finish_plain(c2), train=train, fused_emit_prenorm=True)
+                c3 = l3(finish_plain(c2), train=train, fused_emit_prenorm=True,
+                        emit_stats_eps=eps_emit)
+            c3, mu3, inv3 = split(c3)
             if isinstance(c3, BlockedArray):
-                mu3, inv3 = bd.block_stats(c3, eps)
                 out = bd.apply_norm_act(c3, mu3, inv3, act)
             else:
                 out = finish_plain(c3)

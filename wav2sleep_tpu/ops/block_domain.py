@@ -48,6 +48,19 @@ class BlockedArray:
 # Test hook: force the block path on (CPU + Pallas interpreter) or off.
 FORCE_BLOCK_PATH: bool | None = None
 
+# In-kernel statistics emission (sd convs return their output's
+# instance-norm mu/inv from VMEM instead of a separate two-pass
+# block_stats read). Interpreter-verified and suite-covered; OPT-IN
+# (WAV2SLEEP_KERNEL_STATS=1) until the Mosaic compile is validated on
+# real TPU hardware — the tunnel was down when this landed.
+KERNEL_STATS: bool | None = None
+
+
+def kernel_stats_enabled() -> bool:
+    if KERNEL_STATS is not None:
+        return KERNEL_STATS
+    return bool(os.environ.get('WAV2SLEEP_KERNEL_STATS'))
+
 
 def block_path_enabled() -> bool:
     """Whether the encoder block-domain fast path is active (default ON for

@@ -169,6 +169,58 @@ def _conv_kernel(x_ref, xprev_ref, xnext_ref, wa_ref, wb_ref, wc_ref, b_ref,
     y_ref[0] = out.astype(out_dtype)
 
 
+def _conv_stats_kernel(x_ref, xprev_ref, xnext_ref, wa_ref, wb_ref, wc_ref,
+                       b_ref, sh_ref, sc_ref, sel_ref, selT_ref,
+                       y_ref, mu_ref, m2_ref, *, use_next: bool, out_dtype,
+                       in_norm: bool, act, TB: int, D_in: int, P: int,
+                       Cch: int, eps: float):
+    """_conv_kernel plus per-channel instance-norm statistics of the STORED
+    output, accumulated across the sequential t-grid (Chan/Welford pairwise
+    merge of per-tile centered moments — numerically equivalent to the
+    two-pass centered variance block_stats computes, without the two extra
+    full-map HBM reads it costs: ~0.42 ms each at the block-0 shape). The
+    ``mu_ref``/``m2_ref`` output blocks index only on b, so they stay VMEM-
+    resident across a sequence's tiles; the last tile turns the M2
+    accumulator into ``inv = 1/sqrt(var + eps)`` in place."""
+    import jax.experimental.pallas as pl
+
+    _conv_kernel(x_ref, xprev_ref, xnext_ref, wa_ref, wb_ref, wc_ref, b_ref,
+                 sh_ref, sc_ref, y_ref, use_next=use_next, out_dtype=out_dtype,
+                 in_norm=in_norm, act=act, TB=TB, D_in=D_in, P=P)
+    f32 = jnp.float32
+    # Stats on the values as STORED (match block_stats reading the bf16 map).
+    y_st = y_ref[0].astype(f32)  # [TB, D_out]
+    t = pl.program_id(1)
+    nT = pl.num_programs(1)
+    r_out = y_st.shape[1] // Cch
+    n_t = float(TB * r_out)  # samples per (tile, channel) — static
+    tile_sum = jnp.dot(jnp.sum(y_st, axis=0, keepdims=True), sel_ref[:],
+                       preferred_element_type=f32)  # [1, C]
+    m_t = tile_sum * (1.0 / n_t)
+    m_feat = jnp.dot(m_t, selT_ref[:], preferred_element_type=f32)  # [1, D_out]
+    sq = jnp.square(y_st - m_feat)
+    s2_t = jnp.dot(jnp.sum(sq, axis=0, keepdims=True), sel_ref[:],
+                   preferred_element_type=f32)  # [1, C] tile M2
+
+    @pl.when(t == 0)
+    def _init():
+        mu_ref[0] = m_t[0]
+        m2_ref[0] = s2_t[0]
+
+    @pl.when(t != 0)
+    def _merge():
+        n_run = t.astype(f32) * n_t
+        n_new = n_run + n_t
+        delta = m_t[0] - mu_ref[0]
+        mu_ref[0] = mu_ref[0] + delta * (n_t / n_new)
+        m2_ref[0] = m2_ref[0] + s2_t[0] + jnp.square(delta) * (n_run * n_t / n_new)
+
+    @pl.when(t == nT - 1)
+    def _finalize():
+        var = m2_ref[0] / (nT * n_t)
+        m2_ref[0] = 1.0 / jnp.sqrt(var + eps)
+
+
 def _sd_core(xb, WA, WB, WC, bias_tiled, use_next: bool,
              shift=None, scale=None, act_name: str | None = None):
     """pallas_call on block-domain operands: xb [B, N, D_in] -> [B, N, D_out].
@@ -296,6 +348,126 @@ _sd_core_spmd.def_partition(
 )
 
 
+def _sd_core_stats_local(xb, WA, WB, WC, bias_tiled, shift, scale, sel, selT,
+                         use_next: bool, in_norm: bool, act_name: str | None,
+                         Cch: int, eps: float):
+    """_sd_core_local variant that also emits per-(batch, channel)
+    instance-norm statistics of the stored output: returns
+    (y [B, N, D_out], mu [B, C] f32, inv [B, C] f32)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    D_in, D_out = WA.shape
+    B, rows, lane = xb.shape
+    raw = lane != D_in
+    N = rows if not raw else (rows * 128) // D_in
+    TB = _pick_tile(N, D_in)
+    nT = N // TB
+    P = 8 if not raw else (8 * 128) // D_in
+    npan = TB // P
+    x_block = (1, TB, D_in) if not raw else (1, TB * (D_in // 128), 128)
+    pan_block = (1, 8, D_in) if not raw else (1, 8, 128)
+
+    grid = (B, nT)
+    return pl.pallas_call(
+        functools.partial(
+            _conv_stats_kernel,
+            use_next=use_next,
+            out_dtype=xb.dtype,
+            in_norm=in_norm,
+            act=_in_act(act_name),
+            TB=TB,
+            D_in=D_in,
+            P=P,
+            Cch=Cch,
+            eps=eps,
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(x_block, lambda b, t: (b, t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                pan_block,
+                lambda b, t: (b, jnp.maximum(t * npan - 1, 0), 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                pan_block,
+                lambda b, t: (b, jnp.minimum((t + 1) * npan, nT * npan - 1), 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((D_in, D_out), lambda b, t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((D_in, D_out), lambda b, t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((D_in, D_out), lambda b, t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D_out), lambda b, t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, D_in), lambda b, t: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, D_in), lambda b, t: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((D_out, Cch), lambda b, t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Cch, D_out), lambda b, t: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, TB, D_out), lambda b, t: (b, t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Cch), lambda b, t: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Cch), lambda b, t: (b, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, nT * TB, D_out), xb.dtype),
+            jax.ShapeDtypeStruct((B, Cch), jnp.float32),
+            jax.ShapeDtypeStruct((B, Cch), jnp.float32),
+        ],
+        interpret=_INTERPRET,
+    )(xb, xb, xb, WA, WB, WC, bias_tiled, shift, scale, sel, selT)
+
+
+def _spmd_stats_infer(use_next, in_norm, act_name, Cch, eps,
+                      mesh, arg_shapes, result_shape):
+    x3 = _dim0_sharding(arg_shapes[0].sharding, 3)
+    x2 = _dim0_sharding(arg_shapes[0].sharding, 2)
+    return (x3, x2, x2)
+
+
+def _spmd_stats_partition(use_next, in_norm, act_name, Cch, eps,
+                          mesh, arg_shapes, result_shape):
+    x_sh = _dim0_sharding(arg_shapes[0].sharding, 3)
+    s_sh = _dim0_sharding(arg_shapes[0].sharding, 2)
+    rep2 = NamedSharding(x_sh.mesh, P(None, None))
+
+    def lower(xb, WA, WB, WC, bias_tiled, shift, scale, sel, selT):
+        return _sd_core_stats_local(xb, WA, WB, WC, bias_tiled, shift, scale,
+                                    sel, selT, use_next, in_norm, act_name,
+                                    Cch, eps)
+
+    arg_sh = (x_sh, rep2, rep2, rep2, rep2, x_sh, x_sh, rep2, rep2)
+    return mesh, lower, (x_sh, s_sh, s_sh), arg_sh
+
+
+_sd_core_stats_spmd = functools.partial(
+    custom_partitioning, static_argnums=(9, 10, 11, 12, 13)
+)(_sd_core_stats_local)
+_sd_core_stats_spmd.def_partition(
+    infer_sharding_from_operands=_spmd_stats_infer,
+    partition=_spmd_stats_partition,
+    sharding_rule='b n i, c d, e f, g h, j k, b l m, b o p, q r, s t '
+                  '-> b u v, b w, b x',
+)
+
+
+def _sd_core_stats(xb, WA, WB, WC, bias_tiled, use_next: bool, Cch: int,
+                   eps: float, shift=None, scale=None,
+                   act_name: str | None = None):
+    """_sd_core plus fused per-channel statistics of the stored output."""
+    B = xb.shape[0]
+    D_in, D_out = WA.shape
+    in_norm = shift is not None
+    if not in_norm:
+        shift = jnp.zeros((B, 1, D_in), jnp.float32)
+        scale = jnp.ones((B, 1, D_in), jnp.float32)
+    r_out = D_out // Cch
+    sel = jnp.tile(jnp.eye(Cch, dtype=jnp.float32), (r_out, 1))  # [D_out, C]
+    return _sd_core_stats_spmd(xb, WA, WB, WC, bias_tiled, shift, scale,
+                               sel, sel.T, use_next, in_norm, act_name,
+                               Cch, eps)
+
+
 def _embedded_operands(kernel, bias, r: int, stride: int, dtype):
     WA, WB, WC = embed_sd_weights(kernel, r, stride)
     bias_tiled = jnp.tile(bias.astype(jnp.float32), r)[None, :]
@@ -385,6 +557,101 @@ def _sd_conv_blocks_bwd(Ci, Co, stride, residuals, g):
         lambda d, k, b: _blocks_reference(d, k, b, Ci, Co, stride), data, kernel, bias
     )
     return vjp(g)
+
+
+def _stats_of_blocks(y, Co: int, eps: float):
+    """The exact block_stats math (two-pass centered, block_domain.py) on a
+    block-domain map — the custom-backward / parity reference for the
+    in-kernel Chan-merged statistics."""
+    from .block_domain import BlockedArray, block_stats
+
+    return block_stats(BlockedArray(data=y, channels=Co), eps)
+
+
+@functools.partial(jax.jit, static_argnames=('Ci', 'Co', 'stride', 'eps'))
+def _sd_conv_blocks_stats_impl(data, kernel, bias, Ci, Co, stride, eps):
+    r = 128 // Co
+    D_in = stride * r * Ci
+    WA, WB, WC, bias_tiled = _embedded_operands(kernel, bias, r, stride, data.dtype)
+    return _sd_core_stats(_maybe_group(data, D_in), WA, WB, WC, bias_tiled,
+                          use_next=stride == 1, Cch=Co, eps=eps)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def sd_conv_blocks_stats(data, kernel, bias, Ci: int, Co: int, stride: int,
+                         eps: float):
+    """``sd_conv_blocks`` that ALSO returns the output's per-(batch,
+    channel) instance-norm statistics (mu [B, Co] f32, inv [B, Co] f32),
+    accumulated inside the kernel while the output tile is VMEM-resident —
+    the two full-map HBM reads of a separate ``block_stats`` pass never
+    happen."""
+    return _sd_conv_blocks_stats_impl(data, kernel, bias, Ci, Co, stride, eps)
+
+
+def _sd_conv_blocks_stats_fwd(data, kernel, bias, Ci, Co, stride, eps):
+    out = _sd_conv_blocks_stats_impl(data, kernel, bias, Ci, Co, stride, eps)
+    return out, (data, kernel, bias)
+
+
+def _sd_conv_blocks_stats_bwd(Ci, Co, stride, eps, residuals, g):
+    data, kernel, bias = residuals
+
+    def ref(d, k, b):
+        y = _blocks_reference(d, k, b, Ci, Co, stride)
+        mu, inv = _stats_of_blocks(y, Co, eps)
+        return y, mu, inv
+
+    _, vjp = jax.vjp(ref, data, kernel, bias)
+    return vjp(g)
+
+
+sd_conv_blocks_stats.defvjp(_sd_conv_blocks_stats_fwd, _sd_conv_blocks_stats_bwd)
+
+
+@functools.partial(jax.jit, static_argnames=('Ci', 'Co', 'stride', 'act', 'eps'))
+def _sd_fused_stats_impl(data, kernel, bias, mu_c, inv_c, Ci, Co, stride, act, eps):
+    r = 128 // Co
+    D_in = stride * r * Ci
+    WA, WB, WC, bias_tiled = _embedded_operands(kernel, bias, r, stride, data.dtype)
+    return _sd_core_stats(
+        _maybe_group(data, D_in), WA, WB, WC, bias_tiled,
+        use_next=stride == 1, Cch=Co, eps=eps,
+        shift=_tile_to_din(mu_c, Ci, D_in),
+        scale=_tile_to_din(inv_c, Ci, D_in),
+        act_name=act,
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
+def sd_conv_blocks_fused_stats(data, kernel, bias, mu_c, inv_c, Ci: int,
+                               Co: int, stride: int, act: str | None,
+                               eps: float):
+    """``sd_conv_blocks_fused`` that also emits the output's instance-norm
+    statistics (see ``sd_conv_blocks_stats``) — one kernel both consumes the
+    previous layer's norm+activation and produces the next layer's stats."""
+    return _sd_fused_stats_impl(data, kernel, bias, mu_c, inv_c, Ci, Co,
+                                stride, act, eps)
+
+
+def _sd_fused_stats_fwd(data, kernel, bias, mu_c, inv_c, Ci, Co, stride, act, eps):
+    out = _sd_fused_stats_impl(data, kernel, bias, mu_c, inv_c, Ci, Co,
+                               stride, act, eps)
+    return out, (data, kernel, bias, mu_c, inv_c)
+
+
+def _sd_fused_stats_bwd(Ci, Co, stride, act, eps, residuals, g):
+    data, kernel, bias, mu_c, inv_c = residuals
+
+    def ref(d, k, b, m, i):
+        y = _fused_reference(d, k, b, m, i, Ci, Co, stride, act)
+        mu, inv = _stats_of_blocks(y, Co, eps)
+        return y, mu, inv
+
+    _, vjp = jax.vjp(ref, data, kernel, bias, mu_c, inv_c)
+    return vjp(g)
+
+
+sd_conv_blocks_fused_stats.defvjp(_sd_fused_stats_fwd, _sd_fused_stats_bwd)
 
 
 sd_conv_blocks.defvjp(_sd_conv_blocks_fwd, _sd_conv_blocks_bwd)
