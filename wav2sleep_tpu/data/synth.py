@@ -60,7 +60,10 @@ def _scratch(key: str, n: int, dtype=np.float32) -> np.ndarray:
 
 
 def _time_grid(key: str, fs: float, n: int) -> np.ndarray:
-    """Cached seconds grid (constant across same-length nights)."""
+    """Cached seconds grid (constant across same-length same-rate nights).
+    The rate is part of the key: mixed grid/offgrid calls in one process
+    could otherwise collide on equal lengths and reuse a wrong-fs grid."""
+    key = f'{key}@{fs:g}'
     grid = _SCRATCH.get(key)
     if grid is None or grid.size != n:
         grid = np.arange(n, dtype=np.float32)
