@@ -121,10 +121,12 @@ def main():
         f'{args.source_rates}_{args.nights}x{args.hours:g}h',
     )
     # Stamp the cache with a hash of everything that determines the on-disk
-    # corpus bytes — the waveform generator AND the EDF writer (int16
-    # quantization ranges, record layout) — so editing either regenerates
+    # corpus bytes — the waveform generator, the EDF writer (int16
+    # quantization ranges, record layout), AND this script's own generation
+    # config (the active SOURCE_RATES table and seed; the cache dir name
+    # only encodes the table's NAME) — so editing any of them regenerates
     # the corpus instead of silently benchmarking stale waveforms under the
-    # new code's name.
+    # new configuration's name.
     import hashlib
 
     from wav2sleep_tpu.data import edf as _edf_mod, synth as _synth_mod
@@ -133,6 +135,7 @@ def main():
     for mod in (_synth_mod, _edf_mod):
         with open(mod.__file__, 'rb') as f:
             h.update(f.read())
+    h.update(f'{SOURCE_RATES[args.source_rates]!r}|seed=0'.encode())
     gen_stamp = h.hexdigest()
     stamp_fp = os.path.join(cache, 'GENERATOR_STAMP')
     try:

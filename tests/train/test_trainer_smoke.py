@@ -417,6 +417,36 @@ def test_restore_without_metadata_seeds_ema(corpus, tmp_path, monkeypatch, caplo
     assert any('host_ema' in r.message for r in caplog.records)
 
 
+def test_restore_without_metadata_drops_ema(corpus, tmp_path, monkeypatch, caplog):
+    """The mirror metadata-unavailable path: a checkpoint saved WITH
+    ema_offload (carries a host_ema entry), restored into a trainer that
+    does not use one when orbax item metadata cannot be read, must fall
+    back to the placeholder-and-drop retry instead of surfacing the
+    tree-structure mismatch."""
+    import logging
+
+    from wav2sleep_tpu.train.checkpointing import CheckpointManager
+
+    kw = dict(epochs=1, masker=None, flip_polarity=False)
+    t1 = make_trainer(
+        corpus, tmp_path / 'with_ema', ema_decay=0.9, ema_start_step=0, ema_offload=True, **kw
+    )
+    t1.fit()
+    assert t1._host_ema is not None  # checkpoint carries a host_ema entry
+
+    monkeypatch.setattr(CheckpointManager, '_saved_keys', lambda self, path: None)
+    t2 = make_trainer(corpus, tmp_path / 'with_ema', **kw)  # no EMA offload
+    with caplog.at_level(logging.WARNING):
+        t2.restore('last')
+    assert t2._host_ema is None
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(a, b),
+        jax.device_get(t2.state.params),
+        jax.device_get(t1.state.params),
+    )
+    assert any('ignored' in r.message for r in caplog.records)
+
+
 def test_fit_bfloat16_precision(corpus, tmp_path):
     """Mixed-precision training (bf16 compute, host-cast bf16 batches) runs
     and produces finite losses and a usable confusion matrix."""

@@ -152,9 +152,9 @@ class Conv1D(nn.Module):
             and Co in (16, 32, 64, 128)
             and (nb * 128) % (2 * (128 // Co) * Ci) == 0
         ):
-            data = pallas_conv.ds_1x1_s2_blocks(xb.data, kernel.astype(xb.data.dtype), Ci, Co)
-            if bias is not None:
-                data = data + jnp.tile(bias, 128 // Co).astype(data.dtype)
+            data = pallas_conv.ds_1x1_s2_blocks(
+                xb.data, kernel.astype(xb.data.dtype), Ci, Co, bias=bias
+            )
             return BlockedArray(data=data, channels=Co)
         return None
 
@@ -182,8 +182,6 @@ class Conv1D(nn.Module):
                 mu_c, inv_c, act_name = fused_in
                 x_NTC = bd.apply_norm_act(x_NTC, mu_c, inv_c, pallas_conv._in_act(act_name))
             x_NTC = from_blocks(x_NTC)  # unsupported config: demote
-        import os as _os
-
         if (
             self.block_domain
             and not blocked_in
@@ -193,8 +191,7 @@ class Conv1D(nn.Module):
             and self.groups == 1
             and bd.block_path_enabled()
             and self.features in (16, 32, 64, 128)
-            # A/B knob (trace-time), mirrors WAV2SLEEP_DISABLE_BLOCK_PATH.
-            and not _os.environ.get('WAV2SLEEP_DISABLE_ENTRY_PACK')
+            and bd.entry_pack_enabled()
         ):
             # Single-channel entry convs write PACKED output directly (one
             # matmul into the block layout) instead of a channels-last map
@@ -217,12 +214,7 @@ class Conv1D(nn.Module):
                 and T % (2 * r) == 0
                 and T // 2 >= bd.MIN_PROMOTE_LENGTH
             ):
-                yb = bd.entry_ds_1x1_s2_blocks(x_NTC, kernel)
-                if bias is not None:
-                    yb = yb.replace(
-                        data=yb.data + jnp.tile(bias, r).astype(yb.data.dtype)
-                    )
-                return yb
+                return bd.entry_ds_1x1_s2_blocks(x_NTC, kernel, bias)
         y = None
         if self.dilation == 1 and self.groups == 1:
             y = _conv_mxu_friendly(x_NTC, kernel.astype(x_NTC.dtype), self.stride, self.padding)

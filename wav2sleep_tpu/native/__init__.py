@@ -32,8 +32,38 @@ def _sources() -> list[str]:
     )
 
 
+_CFLAGS = ['-O3', '-march=native', '-std=c++17', '-shared', '-fPIC']
+_BUILDINFO_PATH = _LIB_PATH + '.buildinfo'
+
+
+def _buildinfo() -> str:
+    """Fingerprint of the compile flags and build host. ``-march=native``
+    bakes the build host's ISA into the .so; a lib carried to a different
+    CPU (repo baked into an image, copied over NFS) would SIGILL mid-decode
+    instead of taking the documented pure-Python fallback — so the cached
+    lib is only reused when the flags AND the host CPU match."""
+    import platform
+
+    cpu = ''
+    try:
+        with open('/proc/cpuinfo') as f:
+            for line in f:
+                if line.startswith('model name'):
+                    cpu = line.split(':', 1)[1].strip()
+                    break
+    except OSError:
+        pass
+    return f'{" ".join(_CFLAGS)}|{platform.machine()}|{cpu}'
+
+
 def _needs_rebuild() -> bool:
     if not os.path.exists(_LIB_PATH):
+        return True
+    try:
+        with open(_BUILDINFO_PATH) as f:
+            if f.read() != _buildinfo():
+                return True
+    except OSError:
         return True
     lib_mtime = os.path.getmtime(_LIB_PATH)
     return any(os.path.getmtime(src) > lib_mtime for src in _sources())
@@ -46,12 +76,17 @@ def build(force: bool = False) -> str | None:
     srcs = _sources()
     if not srcs:
         return None
-    cmd = ['g++', '-O3', '-march=native', '-std=c++17', '-shared', '-fPIC', '-o', _LIB_PATH, *srcs]
+    cmd = ['g++', *_CFLAGS, '-o', _LIB_PATH, *srcs]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=300)
     except (OSError, subprocess.SubprocessError) as e:
         logger.warning(f'Native build failed ({e}); falling back to pure-Python kernels.')
         return None
+    try:
+        with open(_BUILDINFO_PATH, 'w') as f:
+            f.write(_buildinfo())
+    except OSError:
+        pass
     return _LIB_PATH
 
 

@@ -14,6 +14,47 @@
 #include <cmath>
 #include <cstdint>
 
+namespace {
+
+// Shared incremental-cursor lerp loop for the q16/q8 transports: walks the
+// right-aligned grid pos_j = (j+1)*ratio, maintaining i0's (record, offset)
+// decomposition by carrying (no per-sample integer divisions — those
+// dominated the loop at ~28 ns/sample and blocked all ILP), reading v1
+// across record boundaries, and handing each in-range lerped value to
+// ``store(j, v)``. Returns n_valid; callers zero the tail (they own the
+// output type).
+template <typename Store>
+int64_t resample_cursor_loop(const int16_t* records, int64_t n_records,
+                             int64_t record_stride, int64_t ch_offset,
+                             int64_t ch_spr, double ratio, int64_t m,
+                             Store&& store) {
+  const int64_t n = n_records * ch_spr;
+  int64_t n_valid = m;
+  int64_t rec = 0, within = 0, i_last = 0;
+  for (int64_t j = 0; j < m; ++j) {
+    const double pos = (static_cast<double>(j) + 1.0) * ratio;
+    if (pos > static_cast<double>(n - 1)) {
+      n_valid = j;
+      break;
+    }
+    const int64_t i0 = static_cast<int64_t>(pos);
+    within += i0 - i_last;
+    i_last = i0;
+    while (within >= ch_spr) { within -= ch_spr; ++rec; }
+    const int16_t* row = records + rec * record_stride + ch_offset;
+    const double v0 = static_cast<double>(row[within]);
+    double v1;
+    if (within + 1 < ch_spr) v1 = static_cast<double>(row[within + 1]);
+    else if (rec + 1 < n_records) v1 = static_cast<double>(row[record_stride]);
+    else v1 = v0;
+    const double frac = pos - static_cast<double>(i0);
+    store(j, v0 + frac * (v1 - v0));
+  }
+  return n_valid;
+}
+
+}  // namespace
+
 extern "C" {
 
 void w2s_decode_resample(
@@ -95,32 +136,10 @@ int64_t w2s_resample_q16(
     for (int64_t k = n_valid; k < m; ++k) out[k] = 0;
     return n_valid;
   }
-  // Incremental source cursor: pos advances by a fixed ratio, so i0's
-  // (record, offset) decomposition is maintained by carrying instead of
-  // recomputed with two integer divisions per output sample (the divisions
-  // dominated this loop — ~28 ns/sample measured — and blocked all ILP).
-  int64_t n_valid = m;
-  int64_t rec = 0, within = 0, i_last = 0;
-  for (int64_t j = 0; j < m; ++j) {
-    const double pos = (static_cast<double>(j) + 1.0) * ratio;
-    if (pos > static_cast<double>(n - 1)) {
-      n_valid = j;
-      for (int64_t k = j; k < m; ++k) out[k] = 0;
-      break;
-    }
-    const int64_t i0 = static_cast<int64_t>(pos);
-    within += i0 - i_last;
-    i_last = i0;
-    while (within >= ch_spr) { within -= ch_spr; ++rec; }
-    const int16_t* row = records + rec * record_stride + ch_offset;
-    const double v0 = static_cast<double>(row[within]);
-    double v1;
-    if (within + 1 < ch_spr) v1 = static_cast<double>(row[within + 1]);
-    else if (rec + 1 < n_records) v1 = static_cast<double>(row[record_stride]);
-    else v1 = v0;
-    const double frac = pos - static_cast<double>(i0);
-    out[j] = static_cast<int16_t>(std::lrint(v0 + frac * (v1 - v0)));
-  }
+  const int64_t n_valid = resample_cursor_loop(
+      records, n_records, record_stride, ch_offset, ch_spr, ratio, m,
+      [&](int64_t j, double v) { out[j] = static_cast<int16_t>(std::lrint(v)); });
+  for (int64_t k = n_valid; k < m; ++k) out[k] = 0;
   return n_valid;
 }
 
@@ -199,30 +218,12 @@ int64_t w2s_resample_q8(
     for (int64_t k = n_valid; k < m; ++k) out[k] = 0;
     return n_valid;
   }
-  // Same incremental division-free cursor as w2s_resample_q16 above.
-  int64_t n_valid = m;
-  int64_t rec = 0, within = 0, i_last = 0;
-  for (int64_t j = 0; j < m; ++j) {
-    const double pos = (static_cast<double>(j) + 1.0) * ratio;
-    if (pos > static_cast<double>(n - 1)) {
-      n_valid = j;
-      for (int64_t k = j; k < m; ++k) out[k] = 0;
-      break;
-    }
-    const int64_t i0 = static_cast<int64_t>(pos);
-    within += i0 - i_last;
-    i_last = i0;
-    while (within >= ch_spr) { within -= ch_spr; ++rec; }
-    const int16_t* row = records + rec * record_stride + ch_offset;
-    const double v0 = static_cast<double>(row[within]);
-    double v1;
-    if (within + 1 < ch_spr) v1 = static_cast<double>(row[within + 1]);
-    else if (rec + 1 < n_records) v1 = static_cast<double>(row[record_stride]);
-    else v1 = v0;
-    const double frac = pos - static_cast<double>(i0);
-    const int32_t d = static_cast<int32_t>(std::lrint(v0 + frac * (v1 - v0)));
-    out[j] = lut[static_cast<uint16_t>(static_cast<int16_t>(d))];
-  }
+  const int64_t n_valid = resample_cursor_loop(
+      records, n_records, record_stride, ch_offset, ch_spr, ratio, m,
+      [&](int64_t j, double v) {
+        out[j] = lut[static_cast<uint16_t>(static_cast<int16_t>(std::lrint(v)))];
+      });
+  for (int64_t k = n_valid; k < m; ++k) out[k] = 0;
   return n_valid;
 }
 

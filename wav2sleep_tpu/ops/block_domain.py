@@ -62,6 +62,12 @@ def kernel_stats_enabled() -> bool:
     return bool(os.environ.get('WAV2SLEEP_KERNEL_STATS'))
 
 
+def entry_pack_enabled() -> bool:
+    """A/B knob (trace-time) for the packed single-channel entry convs —
+    mirrors ``WAV2SLEEP_DISABLE_BLOCK_PATH``'s opt-out pattern."""
+    return not os.environ.get('WAV2SLEEP_DISABLE_ENTRY_PACK')
+
+
 def block_path_enabled() -> bool:
     """Whether the encoder block-domain fast path is active (default ON for
     TPU backends; ``WAV2SLEEP_DISABLE_BLOCK_PATH=1`` opts out; on CPU the
@@ -141,7 +147,7 @@ def entry_conv_blocks(x_BT1: jnp.ndarray, kernel: jnp.ndarray, bias) -> BlockedA
     return BlockedArray(data=out, channels=Co)
 
 
-def entry_ds_1x1_s2_blocks(x_BT1: jnp.ndarray, kernel: jnp.ndarray) -> BlockedArray:
+def entry_ds_1x1_s2_blocks(x_BT1: jnp.ndarray, kernel: jnp.ndarray, bias=None) -> BlockedArray:
     """1x1 stride-2 conv from a single-channel input straight into the
     packed block domain — cnn_0's residual downsample (reference
     blocks.py:45-53 role). Even-phase extraction via a free reshape, then
@@ -156,7 +162,10 @@ def entry_ds_1x1_s2_blocks(x_BT1: jnp.ndarray, kernel: jnp.ndarray) -> BlockedAr
     W = jnp.zeros((r, r * Co), kernel.dtype)
     for s in range(r):
         W = W.at[s, s * Co:(s + 1) * Co].set(kernel[0, 0])
-    return BlockedArray(data=xe @ W.astype(x_BT1.dtype), channels=Co)
+    out = xe @ W.astype(x_BT1.dtype)
+    if bias is not None:
+        out = out + jnp.tile(bias, r).astype(out.dtype)
+    return BlockedArray(data=out, channels=Co)
 
 
 def bmap(fn, x):

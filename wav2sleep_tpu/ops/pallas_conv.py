@@ -741,7 +741,7 @@ def embed_k1_s2_weights(kernel: jnp.ndarray, r: int) -> jnp.ndarray:
     return W
 
 
-def ds_1x1_s2_blocks(data, kernel, Ci: int, Co: int):
+def ds_1x1_s2_blocks(data, kernel, Ci: int, Co: int, bias=None):
     """Block-domain 1x1 stride-2 conv as a single XLA matmul (natively
     differentiable; the MXU shape [*, 2rCi] @ [2rCi, 128] is efficient).
     A k=d stride-d NHC conv formulation would avoid the D_in=256 row
@@ -752,7 +752,10 @@ def ds_1x1_s2_blocks(data, kernel, Ci: int, Co: int):
     D_in = 2 * r * Ci
     N = (nb * 128) // D_in
     W = embed_k1_s2_weights(kernel, r).astype(data.dtype)
-    return data.reshape(B, N, D_in) @ W
+    out = data.reshape(B, N, D_in) @ W
+    if bias is not None:
+        out = out + jnp.tile(bias, r).astype(out.dtype)
+    return out
 
 
 def supported(x_shape, kernel_shape, stride, padding, dilation=1, groups=1) -> bool:

@@ -125,33 +125,43 @@ class CheckpointManager:
             )
             return out
 
-        if saved_keys is None and 'host_ema' in template:
-            # Metadata unavailable (older/foreign checkpoint): we cannot know
-            # whether it carries a host_ema entry. Try the full template; if
-            # that fails, retry without host_ema — and if the retry fails
-            # too, surface the ORIGINAL error, which describes the real
-            # problem.
-            try:
-                restored = self._ckptr.restore(path, template)
-            except Exception as first_err:
-                try:
-                    restored = _restore_seeding_ema()
-                except Exception:
-                    raise first_err
-        elif 'host_ema' in template and 'host_ema' not in (saved_keys or ()):
-            restored = _restore_seeding_ema()
-        elif 'host_ema' not in template and saved_keys is not None and 'host_ema' in saved_keys:
+        def _restore_dropping_ema():
             # Checkpoint carries a host_ema this trainer does not use:
             # restore with a placeholder, then drop it.
-            template['host_ema'] = jax.tree_util.tree_map(
+            tmpl = dict(template)
+            tmpl['host_ema'] = jax.tree_util.tree_map(
                 lambda v: np.array(v), template['state'].params
             )
-            restored = self._ckptr.restore(path, template)
+            out = self._ckptr.restore(path, tmpl)
             logger.warning(
                 'Checkpoint carries an offloaded EMA but ema_offload is '
                 'disabled; the EMA weights were ignored.'
             )
-            restored.pop('host_ema', None)
+            out.pop('host_ema', None)
+            return out
+
+        if saved_keys is None:
+            # Metadata unavailable (older/foreign checkpoint): we cannot know
+            # whether it carries a host_ema entry. Try the full template; if
+            # that fails, retry with the template adjusted the other way
+            # (seeding or dropping host_ema) — and if the retry fails too,
+            # surface the ORIGINAL error, which describes the real problem.
+            try:
+                restored = self._ckptr.restore(path, template)
+            except Exception as first_err:
+                retry = (
+                    _restore_seeding_ema
+                    if 'host_ema' in template
+                    else _restore_dropping_ema
+                )
+                try:
+                    restored = retry()
+                except Exception:
+                    raise first_err
+        elif 'host_ema' in template and 'host_ema' not in saved_keys:
+            restored = _restore_seeding_ema()
+        elif 'host_ema' not in template and 'host_ema' in saved_keys:
+            restored = _restore_dropping_ema()
         else:
             restored = self._ckptr.restore(path, template)
         trainer.state = restored['state']

@@ -217,6 +217,8 @@ class Trainer:
         self._jit_train = None
         self._jit_eval = None
         self._host_ema = None  # CPU-offloaded EMA pytree (ema_offload=True)
+        self._ema_pending = []  # device param trees awaiting the host EMA fold
+        self._ema_snapshot_fn = None
         self.rng = jax.random.PRNGKey(self.seed)
 
     # ------------------------------------------------------------------
@@ -356,10 +358,15 @@ class Trainer:
                 cmat_np = np.asarray(m['cmat'], np.int64)
                 np.add(cmat, cmat_np, out=cmat)
             pending.clear()
+            self._drain_host_ema()
 
         host_it = iter(self._progress(self.datamodule.train_loader(epoch), f'train e{epoch}'))
         nxt = next(host_it, None)
         dev = self._stage_batch(*nxt) if nxt is not None else None
+        # Host-side mirror of state.step for the EMA start gate: reading
+        # int(self.state.step) per step would block on the just-dispatched
+        # step and collapse the transfer pipeline back to one deep.
+        ema_step0 = int(self.state.step) if self._host_ema is not None and dev is not None else 0
         while dev is not None:
             state, metrics = self._jit_train(self.state, dev, step_rng)
             self.state = state
@@ -367,7 +374,7 @@ class Trainer:
             nxt = None if last else next(host_it, None)
             dev = self._stage_batch(*nxt) if nxt is not None else None
             if self._host_ema is not None:
-                self._update_host_ema()
+                self._enqueue_host_ema(ema_step0 + n)
             pending.append(metrics)
             if len(pending) >= max(1, self.metric_fetch_every):
                 drain()
@@ -395,17 +402,42 @@ class Trainer:
         self.metrics_logger.log_confusion(cmat, epoch, prefix=f'{TRAIN}_all')
         return out
 
-    def _update_host_ema(self) -> None:
+    def _enqueue_host_ema(self, step_before: int) -> None:
         """CPU-offloaded mirror of the in-graph EMA update (same semantics:
-        frozen at the init copy until ema_start_step, then exponential)."""
-        step_before = int(self.state.step) - 1
+        frozen at the init copy until ema_start_step, then exponential).
+
+        The fold itself is deferred to the metric drain: a per-step
+        ``device_get`` here would block on the just-dispatched step, pinning
+        the staging pipeline to one transfer in flight and making the
+        ``metric_fetch_every``/``stage_ring`` knobs inert. Instead the step's
+        param refs start a non-blocking D2H copy and queue for
+        ``_drain_host_ema`` — the per-step EMA recurrence is applied there
+        in order, bit-identical to the eager update."""
         if step_before < self.ema_start_step:
             return
-        params = jax.device_get(self.state.params)
+        # The train step DONATES the state, so holding self.state.params refs
+        # across the next dispatch would leave deleted arrays in the queue —
+        # snapshot into fresh (non-donated) device buffers first. One jitted
+        # async dispatch; params are small next to the activations.
+        if self._ema_snapshot_fn is None:
+            self._ema_snapshot_fn = jax.jit(
+                lambda p: jax.tree_util.tree_map(jnp.copy, p)
+            )
+        params = self._ema_snapshot_fn(self.state.params)
+        for leaf in jax.tree_util.tree_leaves(params):
+            copy_async = getattr(leaf, 'copy_to_host_async', None)
+            if copy_async is not None:
+                copy_async()
+        self._ema_pending.append(params)
+
+    def _drain_host_ema(self) -> None:
         d = self.ema_decay
-        self._host_ema = jax.tree_util.tree_map(
-            lambda e, p: d * e + (1.0 - d) * p, self._host_ema, params
-        )
+        for params in self._ema_pending:
+            host = jax.device_get(params)
+            self._host_ema = jax.tree_util.tree_map(
+                lambda e, p: d * e + (1.0 - d) * p, self._host_ema, host
+            )
+        self._ema_pending.clear()
 
     # ------------------------------------------------------------------
     def _eval_params(self):
