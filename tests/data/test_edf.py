@@ -115,3 +115,107 @@ def test_unit_scaling_table():
     assert get_unit_scaling('ABD', 'uV') == 1.0  # non-voltage: no scaling
     assert get_unit_scaling('ECG', '') == 1.0
     assert get_unit_scaling('ECG', 'weird') == 1.0
+
+
+# ---------------------------------------------------------------------------
+# Malformed-file robustness (SURVEY §5 failure-detection role): untrusted NSRR
+# downloads arrive truncated or with Profusion-export header lies; the reader
+# must salvage-and-warn or raise a CLEAN error — never an obscure mmap
+# failure, never garbage data read out of the header area.
+
+
+def _corrupt(fp: str, offset: int, payload: bytes) -> str:
+    with open(fp, 'r+b') as f:
+        f.seek(offset)
+        f.write(payload)
+    return fp
+
+
+def test_truncated_data_area_is_clamped(edf_file, caplog):
+    """A file whose data area is shorter than n_records claims (interrupted
+    download) reads the whole records actually present instead of failing
+    the memmap with a size error."""
+    import logging
+    import os
+
+    from wav2sleep_tpu.data.edf import EdfFile
+
+    fp, ecg, _ = edf_file
+    full = read_edf_header(fp)
+    record_bytes = 2 * sum(c.samples_per_record for c in full.channels)
+    # Drop the last 30 records plus half a record.
+    new_size = full.header_bytes + record_bytes * (full.n_records - 30) + record_bytes // 2
+    os.truncate(fp, new_size)
+    with caplog.at_level(logging.WARNING):
+        h = read_edf_header(fp)
+    assert h.n_records == full.n_records - 30
+    assert any('holds' in r.message for r in caplog.records)
+    with EdfFile(fp) as f:
+        dig = f.read_digital('EKG')
+    assert dig.size == 128 * (full.n_records - 30)
+
+
+def test_lying_header_bytes_is_recomputed(edf_file, caplog):
+    """header_bytes inconsistent with the signal count (a known Profusion
+    export bug class) is replaced by the computed 256*(ns+1) so the data
+    area does not start mid-header."""
+    import logging
+
+    fp, ecg, _ = edf_file
+    _corrupt(fp, 184, b'9999    ')
+    with caplog.at_level(logging.WARNING):
+        h = read_edf_header(fp)
+    assert h.header_bytes == 256 * (1 + len(h.channels))
+    assert any('computed size' in r.message for r in caplog.records)
+    # Data decodes correctly from the recomputed offset.
+    df, _ = load_edf_data(fp, columns=['ECG'])
+    np.testing.assert_allclose(df['ECG'].dropna().to_numpy(), ecg * 1e-3, atol=2e-4)
+
+
+def test_garbage_numeric_header_fields(edf_file):
+    """Non-numeric n_records / header_bytes / record_duration fields fall
+    back to salvageable defaults instead of raising bare int()/float()
+    ValueErrors."""
+    fp, ecg, _ = edf_file
+    _corrupt(fp, 184, b'huh?    ')  # header_bytes
+    _corrupt(fp, 236, b'lots    ')  # n_records
+    _corrupt(fp, 244, b'soon    ')  # record_duration
+    h = read_edf_header(fp)
+    assert h.n_records == 120  # inferred from the file size
+    assert h.record_duration == 1.0
+    df, _ = load_edf_data(fp, columns=['ECG'])
+    np.testing.assert_allclose(df['ECG'].dropna().to_numpy(), ecg * 1e-3, atol=2e-4)
+
+
+def test_garbage_signal_count_raises_cleanly(edf_file):
+    fp, *_ = edf_file
+    _corrupt(fp, 252, b'four')
+    with pytest.raises(ValueError, match='signal count'):
+        read_edf_header(fp)
+
+
+def test_negative_samples_per_record_zeroed(edf_file, caplog):
+    """A negative samples/record entry (corrupt signal header) is treated as
+    an empty channel rather than corrupting every other channel's offsets."""
+    import logging
+
+    fp, ecg, _ = edf_file
+    # SpO2 is the 3rd signal; its spr field sits at 256 + 216*ns + 2*8.
+    _corrupt(fp, 256 + 216 * 3 + 2 * 8, b'-1      ')
+    with caplog.at_level(logging.WARNING):
+        h = read_edf_header(fp)
+    assert h.channels[2].samples_per_record == 0
+    assert any('samples/record' in r.message for r in caplog.records)
+
+
+def test_random_bytes_raise_cleanly(tmp_path):
+    """Arbitrary non-EDF bytes must raise ValueError, not crash or hang."""
+    rng = np.random.default_rng(7)
+    short = tmp_path / 'short.bin'
+    short.write_bytes(b'\x00' * 100)
+    with pytest.raises(ValueError, match='truncated'):
+        read_edf_header(str(short))
+    junk = tmp_path / 'junk.bin'
+    junk.write_bytes(rng.integers(0, 256, size=4096, dtype=np.uint8).tobytes())
+    with pytest.raises(ValueError):
+        read_edf_header(str(junk))

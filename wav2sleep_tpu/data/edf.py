@@ -155,13 +155,24 @@ def read_edf_header(filepath: str) -> EdfHeader:
         patient = _ascii(h[8:88])
         recording = _ascii(h[88:168])
         start = _parse_start(_ascii(h[168:176]), _ascii(h[176:184]))
-        header_bytes = int(_ascii(h[184:192]) or 0)
-        n_records = int(_ascii(h[236:244]) or -1)
+        try:
+            header_bytes = int(_ascii(h[184:192]) or 0)
+        except ValueError:
+            header_bytes = 0
+        try:
+            n_records = int(_ascii(h[236:244]) or -1)
+        except ValueError:
+            n_records = -1
         try:
             record_duration = float(_ascii(h[244:252]) or 1.0)
         except ValueError:
             record_duration = 1.0
-        ns = int(_ascii(h[252:256]))
+        try:
+            ns = int(_ascii(h[252:256]))
+        except ValueError:
+            raise ValueError(f'{filepath}: invalid EDF signal count {_ascii(h[252:256])!r}')
+        if ns < 0:
+            raise ValueError(f'{filepath}: invalid EDF signal count {ns}')
         raw = f.read(ns * SIGNAL_HEADER_BYTES)
         if len(raw) < ns * SIGNAL_HEADER_BYTES:
             raise ValueError(f'{filepath}: truncated EDF signal headers')
@@ -201,6 +212,25 @@ def read_edf_header(filepath: str) -> EdfHeader:
         )
         for i in range(ns)
     ]
+    # Defensive fixes for malformed headers (Profusion exports and truncated
+    # transfers are common in NSRR data; the reference routes these through
+    # pyedflib errors + 0_fix_edfs — here the reader salvages what the file
+    # actually holds and warns, so ingestion can quarantine per-file instead
+    # of crashing on an obscure mmap error).
+    for c in channels:
+        if c.samples_per_record < 0:
+            _logger.warning(
+                f'{filepath}: signal {c.label!r} claims {c.samples_per_record} '
+                'samples/record; treating as 0.'
+            )
+            c.samples_per_record = 0
+    expected_header = HEADER_BYTES + ns * SIGNAL_HEADER_BYTES
+    if header_bytes != expected_header:
+        _logger.warning(
+            f'{filepath}: header claims {header_bytes} header bytes but '
+            f'{ns} signals imply {expected_header}; using the computed size.'
+        )
+        header_bytes = expected_header
     header = EdfHeader(
         version=version,
         patient_id=patient,
@@ -211,10 +241,20 @@ def read_edf_header(filepath: str) -> EdfHeader:
         record_duration=record_duration,
         channels=channels,
     )
+    total_spr = sum(c.samples_per_record for c in channels)
+    data_bytes = max(os.path.getsize(filepath) - header_bytes, 0)
+    fit_records = int(data_bytes // (2 * total_spr)) if total_spr else 0
     if header.n_records < 0:  # Unknown record count: infer from file size.
-        total_spr = sum(c.samples_per_record for c in channels)
-        data_bytes = os.path.getsize(filepath) - header_bytes
-        header.n_records = int(data_bytes // (2 * total_spr)) if total_spr else 0
+        header.n_records = fit_records
+    elif header.n_records > fit_records:
+        # Data area shorter than the header claims (truncated download):
+        # clamp to whole records actually present rather than failing the
+        # memmap with a size error.
+        _logger.warning(
+            f'{filepath}: header claims {header.n_records} records but the '
+            f'file holds {fit_records}; reading the records present.'
+        )
+        header.n_records = fit_records
     return header
 
 
@@ -231,13 +271,19 @@ class EdfFile:
     @property
     def _records(self) -> np.ndarray:
         if self._data is None:
-            self._data = np.memmap(
-                self.filepath,
-                dtype='<i2',
-                mode='r',
-                offset=self.header.header_bytes,
-                shape=(self.header.n_records, self._total_spr),
-            )
+            if self.header.n_records == 0 or self._total_spr == 0:
+                # Degenerate (empty/salvaged) data area: mmap rejects
+                # zero-length maps; an empty record matrix reads as
+                # zero-sample channels downstream.
+                self._data = np.empty((self.header.n_records, self._total_spr), '<i2')
+            else:
+                self._data = np.memmap(
+                    self.filepath,
+                    dtype='<i2',
+                    mode='r',
+                    offset=self.header.header_bytes,
+                    shape=(self.header.n_records, self._total_spr),
+                )
         return self._data
 
     def labels(self) -> list[str]:
