@@ -388,6 +388,32 @@ def test_ema_offload_matches_in_graph(corpus, tmp_path):
     )
 
 
+def test_ema_offload_defers_the_fold(corpus, tmp_path, monkeypatch):
+    """The host-EMA fold must ride the deferred metric drain, not block on
+    every dispatched step: a per-step device_get would pin the staging
+    pipeline to one transfer in flight, making the metric_fetch_every /
+    stage_ring knobs inert (the regression this test pins was exactly
+    that). With 2 steps/epoch and the fetch interval past epoch length,
+    both steps' snapshots must be pending when the drain fires."""
+    from wav2sleep_tpu.train.loop import Trainer
+
+    seen = []
+    orig = Trainer._drain_host_ema
+
+    def spy(self):
+        seen.append(len(self._ema_pending))
+        orig(self)
+
+    monkeypatch.setattr(Trainer, '_drain_host_ema', spy)
+    t = make_trainer(
+        corpus, tmp_path / 'ema_defer', epochs=1, ema_decay=0.9, ema_start_step=0,
+        ema_offload=True, masker=None, flip_polarity=False,
+    )
+    t.fit()
+    assert t._host_ema is not None and not t._ema_pending
+    assert max(seen) >= 2, f'EMA fold drained per-step (pending lengths {seen})'
+
+
 def test_restore_without_metadata_seeds_ema(corpus, tmp_path, monkeypatch, caplog):
     """Metadata-unavailable restore path: a checkpoint saved WITHOUT
     ema_offload, restored into an ema_offload trainer when orbax item
