@@ -164,6 +164,7 @@ def main():
             pass  # cache is best-effort; benchmark proceeds from tmp
         else:
             fps = [os.path.join(cache, os.path.basename(fp)) for fp in fps]
+            shutil.rmtree(tmp, ignore_errors=True)  # ~GBs per regeneration
     else:
         # Re-touch cached files so pass 1 reads from the page cache rather
         # than faulting cold storage (documented warm protocol).
@@ -257,30 +258,25 @@ def main():
     median = float(np.median(elapsed))
     per_hour_per_chip = processed / median * 3600.0
 
+    # Exactly ONE JSON line (driver/CLAUDE.md contract) — the verbose
+    # extras ride as additional keys on the same line.
+    line = {
+        'metric': 'EDF->hypnogram inference throughput (10h nights, ECG+PPG+ABD+THX)',
+        'value': round(per_hour_per_chip, 1),
+        'unit': 'recordings/hour/chip',
+        'vs_baseline': round(per_hour_per_chip / BASELINE_PER_CHIP, 3),
+        'pipeline': args.pipeline,
+        'source_rates': args.source_rates,
+        'precision': args.precision,
+        'passes_s': [round(e, 3) for e in elapsed],
+    }
     if args.verbose:
-        print(
-            json.dumps(
-                {
-                    'processed': processed,
-                    'compile_s': round(compile_s, 2),
-                    'sec_per_night': round(median / processed, 3),
-                }
-            )
+        line.update(
+            processed=processed,
+            compile_s=round(compile_s, 2),
+            sec_per_night=round(median / processed, 3),
         )
-    print(
-        json.dumps(
-            {
-                'metric': 'EDF->hypnogram inference throughput (10h nights, ECG+PPG+ABD+THX)',
-                'value': round(per_hour_per_chip, 1),
-                'unit': 'recordings/hour/chip',
-                'vs_baseline': round(per_hour_per_chip / BASELINE_PER_CHIP, 3),
-                'pipeline': args.pipeline,
-                'source_rates': args.source_rates,
-                'precision': args.precision,
-                'passes_s': [round(e, 3) for e in elapsed],
-            }
-        )
-    )
+    print(json.dumps(line))
 
 
 if __name__ == '__main__':

@@ -146,13 +146,13 @@ def main() -> None:
         extractor.extract_into(fp, q8_buf, meta, i)
 
     def q8_args():
+        # Operand order = Q8_META_DTYPE field order (pipeline._launch).
         return (
             {c: jnp.asarray(q8_buf[c]) for c in signals},
-            {c: jnp.asarray(meta[c]['a']) for c in signals},
-            {c: jnp.asarray(meta[c]['b']) for c in signals},
-            {c: jnp.asarray(meta[c]['vmax']) for c in signals},
-            {c: jnp.asarray(meta[c]['n_valid']) for c in signals},
-            {c: jnp.asarray(meta[c]['present']) for c in signals},
+            *(
+                {c: jnp.asarray(meta[c][name]) for c in signals}
+                for name in Q8_META_DTYPE.names
+            ),
         )
 
     tiny = {k: np.zeros((1, COLS_TO_SAMPLES_PER_EPOCH[k] * 2), np.float32) for k in signals}

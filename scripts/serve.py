@@ -132,23 +132,15 @@ def main(argv=None) -> None:
             return
     logger.info(f'Serving {len(fps)} recordings with transport={args.transport} signals={signals}')
 
-    from wav2sleep_tpu.data.edf import read_edf_header
-
     pipe = make_pipeline(model, args.transport, list(signals), args, mesh=mesh)
     os.makedirs(args.output_folder, exist_ok=True)
     t0 = time.time()
     n = 0
     for fp, hyp in pipe.run(fps):
+        # Hypnograms arrive trimmed to the night's real epochs
+        # (pipeline run(); parity with api.predict's preds[:night_epochs]).
         out_fp = out_path(fp)
         os.makedirs(os.path.dirname(out_fp), exist_ok=True)
-        # Trim the padded grid to the recording's actual length (parity with
-        # api.predict, which emits preds[:night_epochs]).
-        try:
-            header = read_edf_header(fp)
-            night_epochs = min(len(hyp), int(header.duration_seconds // 30))
-        except (OSError, ValueError):
-            night_epochs = len(hyp)
-        hyp = hyp[:night_epochs]
         index = pd.Index(np.arange(len(hyp)) * 30.0 + 30.0, name=TIMESTAMP)
         try:
             start = get_edf_start(fp)

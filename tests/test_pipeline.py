@@ -39,8 +39,8 @@ def test_night_decoder_matches_reference_path(tmp_path):
     dec = NightDecoder(['ECG', 'THX'], max_length_hours=hours)
     S = int(hours * 120)
     out = {c: np.empty(COLS_TO_SAMPLES_PER_EPOCH[c] * S, np.float32) for c in ('ECG', 'THX')}
-    present = dec.decode_into(fp, out)
-    assert present == {'ECG': True, 'THX': False}
+    n_epochs = dec.decode_into(fp, out)
+    assert n_epochs == S  # whole-epoch count from the EDF header
     assert np.isinf(out['THX']).all()
     # Cross-check against the api/pandas path.
     from wav2sleep_tpu.data.edf import load_edf_data
@@ -194,7 +194,7 @@ def test_q16_pipeline_matches_f32(tmp_path):
     meta = {c: np.zeros(1, dtype=Q16_META_DTYPE) for c in ('ECG', 'THX')}
     ext.extract_into(fps[0], q, meta, 0)
     for c in ('ECG', 'THX'):
-        a, b, nv, present = meta[c][0]
+        a, b, nv, n_pad, present = meta[c][0]
         assert present
         rec = q[c][0].astype(np.float32) * a + b
         rec[nv:] = 0.0
@@ -265,7 +265,7 @@ def test_q8_pipeline_transport(tmp_path):
     dec.decode_into(fps[0], ref)
     q, meta = outs[True]
     for c in cols:
-        a, b, vmax, nv, present = meta[c][0]
+        a, b, vmax, nv, n_pad, present = meta[c][0]
         assert present
         qf = q[c][0].astype(np.float64)
         dig = np.sign(qf) * np.expm1(np.abs(qf) * np.log1p(MU_LAW) / 127.0) * vmax / MU_LAW
@@ -454,3 +454,117 @@ def test_streaming_causal_normalization(tmp_path):
     z = causal_rolling_normalize(raw['ECG'], sampling_freq=1024 / 30)
     ref = np.argmax(np.asarray(model.apply(variables, {'ECG': jnp.asarray(z[None])})), axis=-1)[0]
     np.testing.assert_array_equal(got, ref)
+
+
+def _mini_model(signals):
+    import jax
+
+    from wav2sleep_tpu import models as jm
+
+    model = jm.Wav2Sleep(
+        signal_encoders=jm.SignalEncoders(
+            signal_map=jm.as_signal_map({s: s for s in signals}), feature_dim=16,
+            activation='gelu', norm='instance', chunk_causal=False,
+            initial_channels=4, max_channels=8,
+        ),
+        epoch_mixer=jm.MultiModalAttentionEmbedder(feature_dim=16, layers=1, dim_ff=32, nhead=4, dropout=0.0),
+        sequence_mixer=jm.SequenceCNN(feature_dim=16, num_layers=1, kernel_size=3, num_dilations=2, norm='layer', dropout=0.0),
+        num_classes=4,
+    )
+    x0 = {s: np.zeros((1, COLS_TO_SAMPLES_PER_EPOCH[s] * 2), np.float32) for s in signals}
+    return model, model.init(jax.random.PRNGKey(0), x0)
+
+
+def test_short_night_matches_parquet_convention(tmp_path):
+    """A night shorter than max_length_hours must (a) yield a hypnogram
+    trimmed to its real epochs and (b) be normalized over its real epochs
+    only, with -inf padding beyond — the parquet/api path's convention
+    (dataset z-scores real samples; api trims to night_epochs). The old
+    behavior z-scored the zero-padded tail into the moments and returned
+    1,200 epochs of garbage tail for every short recording."""
+    import datetime
+
+    import jax.numpy as jnp
+
+    from wav2sleep_tpu.pipeline import StreamingPipelineQ8, StreamingPipelineQ16
+
+    rng = np.random.default_rng(23)
+    grid_epochs, night_epochs = 6, 4
+    hours = grid_epochs / 120
+    fs = 125.0
+    n = int(fs * 30) * night_epochs
+    fp = str(tmp_path / 'short.edf')
+    write_edf(
+        fp, {'ECG': rng.normal(size=n) * 0.5}, {'ECG': fs},
+        physical_ranges={'ECG': (-3, 3)},
+        start=datetime.datetime(2001, 1, 1, 22, 0, 0), record_duration=30.0,
+    )
+    model, variables = _mini_model(['ECG'])
+
+    # Host reference, parquet-style: decode the night's real epochs,
+    # z-score them (ddof=1), -inf pad to the grid, forward (normalize off).
+    dec = NightDecoder(['ECG'], max_length_hours=hours)
+    spe = COLS_TO_SAMPLES_PER_EPOCH['ECG']
+    buf = np.empty(spe * grid_epochs, np.float32)
+    assert dec.decode_into(fp, {'ECG': buf}) == night_epochs
+    real = buf[: spe * night_epochs].astype(np.float64)
+    assert np.isinf(buf[spe * night_epochs :]).all()  # -inf pad, not zeros
+    z = (real - real.mean()) / max(real.std(ddof=1), 1e-6)
+    padded = np.full(len(buf), -np.inf, np.float32)
+    padded[: len(z)] = z.astype(np.float32)
+    ref = np.argmax(
+        np.asarray(model.apply(variables, {'ECG': jnp.asarray(padded[None])})), axis=-1
+    )[0][:night_epochs]
+
+    for cls in (StreamingPipeline, StreamingPipelineQ16, StreamingPipelineQ8):
+        pipe = cls(model, variables, ['ECG'], batch_size=1,
+                   max_length_hours=hours, precision='float32')
+        (got_fp, got), = list(pipe.run([fp]))
+        assert got_fp == fp
+        assert len(got) == night_epochs, cls.__name__  # trimmed, not grid
+        np.testing.assert_array_equal(got, ref, err_msg=cls.__name__)
+
+
+def test_corrupt_file_skipped_not_fatal(tmp_path, caplog):
+    """One unreadable EDF in a sweep is logged and skipped; the remaining
+    nights still stream (api.prepare's per-file skip, SURVEY §5.3 role)."""
+    import logging
+
+    rng = np.random.default_rng(3)
+    hours = 4 / 120
+    fps = []
+    for i in range(3):
+        fp = str(tmp_path / f'{i}.edf')
+        write_edf(fp, {'ECG': rng.normal(size=int(125 * 30) * 4) * 0.5}, {'ECG': 125.0},
+                  physical_ranges={'ECG': (-3, 3)}, record_duration=30.0)
+        fps.append(fp)
+    with open(fps[1], 'wb') as f:
+        f.write(b'not an edf')
+    model, variables = _mini_model(['ECG'])
+    pipe = StreamingPipeline(model, variables, ['ECG'], batch_size=2,
+                             max_length_hours=hours, precision='float32')
+    with caplog.at_level(logging.WARNING):
+        out = dict(pipe.run(fps))
+    assert set(out) == {fps[0], fps[2]}
+    assert any('Skipping unreadable night' in r.message for r in caplog.records)
+
+
+def test_raw_extractor_truncates_to_bucket(tmp_path):
+    """A file longer than the probed raw bucket truncates to whole records
+    instead of crashing the row reshape."""
+    from wav2sleep_tpu.pipeline import META_DTYPE, RawNightExtractor
+
+    rng = np.random.default_rng(9)
+    fs = 125.0
+    fp = str(tmp_path / 'long.edf')
+    n_epochs = 20
+    write_edf(fp, {'ECG': rng.normal(size=int(fs * 30) * n_epochs) * 0.5}, {'ECG': fs},
+              physical_ranges={'ECG': (-3, 3)}, record_duration=30.0)
+    ext = RawNightExtractor(['ECG'])
+    cap = 65536  # < 75,000 samples in the file, NOT a multiple of spr=3750
+    out = {'ECG': np.zeros((1, cap), np.int16)}
+    meta = {'ECG': np.zeros(1, dtype=META_DTYPE)}
+    assert ext.extract_into(fp, out, meta, 0) == n_epochs
+    n = int(meta['ECG'][0]['n'])
+    spr = int(fs * 30)
+    assert n <= cap and n % spr == 0 and n > 0

@@ -100,18 +100,6 @@ class W2SModel:
         return self.logits(x)
 
 
-def _resolve_device(device: str):
-    """Map 'auto'/'tpu'/'cpu' onto a JAX device (kept for API parity)."""
-    import jax
-
-    if device in ('auto', 'tpu', 'cuda'):
-        return jax.devices()[0]
-    for d in jax.devices():
-        if d.platform == device:
-            return d
-    return jax.devices()[0]
-
-
 def load_model(
     folder: str,
     device: str = 'auto',

@@ -55,19 +55,22 @@ class NightDecoder:
             self._raw_pool[n] = buf
         return buf
 
-    def decode_into(self, fp: str, out: dict[str, np.ndarray]) -> dict[str, bool]:
+    def decode_into(self, fp: str, out: dict[str, np.ndarray]) -> int:
         """Decode + resample each signal of one night into caller-owned
         slices ``out[col]`` (each of length spe*epochs). Missing signals are
-        filled with ``-inf``. Returns {col: present}."""
-        present: dict[str, bool] = {}
+        filled with ``-inf``; grid points past the recording's end are also
+        ``-inf`` — the same padding the parquet/training path uses for short
+        nights (data/dataset.py), so the in-graph masked z-score sees only
+        real samples. Returns the night's whole-epoch count (for trimming
+        the hypnogram grid)."""
         with EdfFile(fp) as f:
+            n_epochs = int(f.header.duration_seconds // 30)
             labels = f.labels()
             units_map = {c.label: c.unit for c in f.header.channels}
             for col in self.signals:
                 actual = get_column_match(col, labels, units_map=units_map, raise_error=False)
                 if actual is None:
                     out[col].fill(-np.inf)
-                    present[col] = False
                     continue
                 ch = f.channel(actual)
                 _, scale, offset = channel_norm_affine(col, ch.unit, ch.physical_min, ch.physical_max)
@@ -100,8 +103,16 @@ class NightDecoder:
                     if offset != 0.0:
                         raw += np.float32(offset)
                     resample_uniform(raw, fs, col, self.max_length_hours, out=dst)
-                present[col] = True
-        return present
+                # Grid epochs past the recording (the resampler zero-fills
+                # their samples) become the -inf padding sentinel — the
+                # parquet path's convention exactly: zero-filled boundary
+                # samples WITHIN the night's epochs stay data (reference
+                # ingestion zero-fills out-of-range, preprocessing.py), and
+                # whole epochs beyond the night are -inf (dataset padding).
+                pad_from = n_epochs * COLS_TO_SAMPLES_PER_EPOCH[col]
+                if pad_from < len(dst):
+                    dst[pad_from:] = -np.inf
+        return n_epochs
 
 
 def make_streaming_forward(
@@ -110,10 +121,13 @@ def make_streaming_forward(
     """Jitted forward: in-graph normalization (+bf16 cast), argmax hypnogram.
 
     ``normalize='zscore'`` matches the host per-recording z-score (std
-    ddof=1, eps 1e-6); ``'causal'`` runs the Pallas causal-EMA kernel
-    per modality (the streaming/real-time path — ~128 Msamples/s on a v5e
-    chip); ``False``/``'none'`` assumes pre-normalized inputs. Missing
-    (``-inf``) channels pass through untouched into the model's
+    ddof=1, eps 1e-6, REAL samples only — the ``-inf``-padded tail of a
+    short night is excluded from the moments, exactly like the parquet
+    path's dataset.py z-score); ``'causal'`` runs the Pallas causal-EMA
+    kernel per modality (the streaming/real-time path — ~128 Msamples/s on
+    a v5e chip); ``False``/``'none'`` assumes pre-normalized inputs.
+    ``-inf`` samples (missing channels, or the padding past a short
+    recording's end) pass through as ``-inf`` into the model's
     missing-modality masking.
     """
     import jax
@@ -126,27 +140,31 @@ def make_streaming_forward(
     @jax.jit
     def forward(variables, x):
         def zscore(v):
-            missing = jnp.isinf(v[:, :1])
-            safe = jnp.where(jnp.isinf(v), 0.0, v)
-            mu = jnp.mean(safe, axis=-1, keepdims=True)
-            n = v.shape[-1]
-            std = jnp.sqrt(jnp.sum(jnp.square(safe - mu), axis=-1, keepdims=True) / (n - 1))
+            finite = jnp.isfinite(v)
+            safe = jnp.where(finite, v, 0.0)
+            cnt = jnp.sum(finite, axis=-1, keepdims=True).astype(jnp.float32)
+            mu = jnp.sum(safe, axis=-1, keepdims=True) / jnp.maximum(cnt, 1.0)
+            centered = jnp.where(finite, safe - mu, 0.0)
+            std = jnp.sqrt(
+                jnp.sum(jnp.square(centered), axis=-1, keepdims=True)
+                / jnp.maximum(cnt - 1.0, 1.0)
+            )
             z = (safe - mu) / jnp.maximum(std, 1e-6)
-            return jnp.where(missing, -jnp.inf, z).astype(dtype)
+            return jnp.where(finite, z, -jnp.inf).astype(dtype)
 
         def causal(col, v):
             from .settings import CAUSAL_NORM_BASELINE_TAU_SECONDS, CAUSAL_NORM_TAU_SECONDS
             from .ops.pallas_ema import ema_normalize_pallas
 
-            missing = jnp.isinf(v[:, :1])
-            safe = jnp.where(jnp.isinf(v), 0.0, v)
+            finite = jnp.isfinite(v)
+            safe = jnp.where(finite, v, 0.0)
             z = ema_normalize_pallas(
                 safe,
                 sampling_freq=COLS_TO_SAMPLES_PER_EPOCH[col] / 30.0,
                 tau_seconds=CAUSAL_NORM_TAU_SECONDS,
                 baseline_tau_seconds=CAUSAL_NORM_BASELINE_TAU_SECONDS,
             )
-            return jnp.where(missing, -jnp.inf, z).astype(dtype)
+            return jnp.where(finite, z, -jnp.inf).astype(dtype)
 
         if normalize == 'zscore':
             x = {k: zscore(v) for k, v in x.items()}
@@ -173,13 +191,19 @@ def _stream(
     """Shared producer/consumer loop for all streaming pipelines.
 
     The producer thread fills pooled buffer slots (``fill_row(slot_bufs, fp,
-    i)``), pads short batches by duplicating the last night, dispatches
-    ``launch(slot_bufs)`` (H2D + jitted forward) and enqueues the async
-    result; the consumer fetches predictions. ``q.put`` is stop-aware so an
-    abandoned generator (consumer stops iterating early) releases the
-    producer instead of deadlocking it on the bounded queue, and the
-    generator's cleanup joins the producer so a subsequent run() never races
-    it for the pooled buffers.
+    i)``, returning the night's whole-epoch count), pads short batches by
+    duplicating the last night, dispatches ``launch(slot_bufs)`` (H2D +
+    jitted forward) and enqueues the async result; the consumer fetches
+    predictions and trims each hypnogram to its night's real epochs (the
+    full-grid tail of a short recording is padding, not prediction — the
+    parquet path trims identically, api.py predict). A night whose file
+    fails to decode is logged and skipped — one corrupt EDF in a
+    10,000-night sweep must not abort the run (api.prepare skips per-file
+    the same way). ``q.put`` is stop-aware so an abandoned generator
+    (consumer stops iterating early) releases the producer instead of
+    deadlocking it on the bounded queue, and the generator's cleanup joins
+    the producer so a subsequent run() never races it for the pooled
+    buffers.
     """
     if not fps:
         return
@@ -207,35 +231,51 @@ def _stream(
             for start in range(0, len(fps), batch_size):
                 if stop.is_set():
                     return
-                chunk = fps[start : start + batch_size]
-                if ensure is not None:
-                    for fp in chunk:
-                        ensure(fp)
+                chunk = []
+                for fp in fps[start : start + batch_size]:
+                    try:
+                        if ensure is not None:
+                            ensure(fp)
+                        chunk.append(fp)
+                    except Exception:  # noqa: BLE001
+                        logger.warning(f'Skipping unreadable night {fp}', exc_info=True)
                 bufs = get_bufs()
                 slot_bufs = bufs[slot % len(bufs)]
                 slot += 1
-                for i, fp in enumerate(chunk):
-                    fill_row(slot_bufs, fp, i)
-                for i in range(len(chunk), batch_size):
-                    dup_row(slot_bufs, len(chunk) - 1, i)
-                if not put(('ok', chunk, launch(slot_bufs))):
+                good: list[str] = []
+                counts: list[int | None] = []
+                for fp in chunk:
+                    try:
+                        n_epochs = fill_row(slot_bufs, fp, len(good))
+                    except Exception:  # noqa: BLE001
+                        logger.warning(f'Skipping unreadable night {fp}', exc_info=True)
+                        continue
+                    good.append(fp)
+                    counts.append(n_epochs)
+                if not good:
+                    continue
+                for i in range(len(good), batch_size):
+                    dup_row(slot_bufs, len(good) - 1, i)
+                if not put(('ok', good, counts, launch(slot_bufs))):
                     return
-            put(('done', None, None))
+            put(('done', None, None, None))
         except Exception as e:  # noqa: BLE001
-            put(('err', e, None))
+            put(('err', e, None, None))
 
     thread = threading.Thread(target=producer, daemon=True)
     thread.start()
     try:
         while True:
-            kind, chunk, result = out_q.get()
+            kind, chunk, counts, result = out_q.get()
             if kind == 'done':
                 return
             if kind == 'err':
                 raise chunk
             preds = np.asarray(result)
             for i, fp in enumerate(chunk):
-                yield fp, preds[i]
+                hyp = preds[i]
+                n = counts[i]
+                yield fp, (hyp if n is None else hyp[: min(int(n), len(hyp))])
     finally:
         stop.set()
         thread.join()  # bounded: put() polls stop every 0.2 s
@@ -271,33 +311,46 @@ class RawNightExtractor:
             bucket[col] = int(np.ceil(n / 65536)) * 65536
         return bucket
 
-    def extract_into(self, fp: str, out_i16: dict[str, np.ndarray], meta: dict[str, np.ndarray], row: int) -> None:
+    def extract_into(self, fp: str, out_i16: dict[str, np.ndarray], meta: dict[str, np.ndarray], row: int) -> int:
         """Fill ``out_i16[col][row]`` and the metadata row: columns
-        a (fused affine scale), b (offset), fs, n, present."""
+        a (fused affine scale), b (offset), fs, n, present. Returns the
+        night's whole-epoch count."""
         with EdfFile(fp) as f:
+            n_epochs = int(f.header.duration_seconds // 30)
             labels = f.labels()
             units_map = {c.label: c.unit for c in f.header.channels}
             for col in self.signals:
                 m = meta[col]
                 actual = get_column_match(col, labels, units_map=units_map, raise_error=False)
                 if actual is None:
-                    m[row] = (0.0, 0.0, 1.0, 0, False)
+                    m[row] = (0.0, 0.0, 1.0, 0, 0, False)
                     continue
                 ch = f.channel(actual)
                 n = f.n_samples(actual)
                 cap = out_i16[col].shape[1]
-                n = min(n, cap)
+                # Truncate to whole records when a file outgrows the probed
+                # bucket — the row reshape below needs record multiples.
+                n = min(n, cap - cap % ch.samples_per_record)
+                n -= n % ch.samples_per_record
                 lo = f._offsets[ch.index]
                 view = f._records[:, lo : lo + ch.samples_per_record]
-                dst = out_i16[col][row, :n].reshape(-1, ch.samples_per_record)[: n // ch.samples_per_record]
+                dst = out_i16[col][row, :n].reshape(-1, ch.samples_per_record)
                 np.copyto(dst, view[: dst.shape[0]])
                 _, scale, offset = channel_norm_affine(col, ch.unit, ch.physical_min, ch.physical_max)
                 a = ch.bitvalue * scale
                 b = (ch.physical_min - ch.digital_min * ch.bitvalue) * scale + offset
-                m[row] = (a, b, f.sampling_freq(actual), n, True)
+                n_pad = n_epochs * COLS_TO_SAMPLES_PER_EPOCH[col]
+                m[row] = (a, b, f.sampling_freq(actual), n, n_pad, True)
+            return n_epochs
 
 
-META_DTYPE = np.dtype([('a', 'f4'), ('b', 'f4'), ('fs', 'f8'), ('n', 'i4'), ('present', '?')])
+# n_pad = whole-epoch valid grid length (n_epochs * samples-per-epoch):
+# stats and the -inf padding sentinel are EPOCH-granular, matching the
+# parquet path (zero-filled boundary samples within a night's epochs are
+# data; whole epochs beyond the night are -inf).
+META_DTYPE = np.dtype(
+    [('a', 'f4'), ('b', 'f4'), ('fs', 'f8'), ('n', 'i4'), ('n_pad', 'i4'), ('present', '?')]
+)
 
 ANCHOR_K = 4096  # Grid points per anchor block in the on-device resampler.
 
@@ -330,7 +383,7 @@ def make_streaming_forward_raw(model, grids: dict[str, np.ndarray], precision: s
     n_grid = {k: len(v) for k, v in grids.items()}
 
     @jax.jit
-    def forward(variables, raw, a, b, base_int, base_frac, ratio, n, present):
+    def forward(variables, raw, a, b, base_int, base_frac, ratio, n, n_pad, present):
         x = {}
         for col, r in raw.items():
             B = r.shape[0]
@@ -352,10 +405,8 @@ def make_streaming_forward_raw(model, grids: dict[str, np.ndarray], precision: s
             s0 = jnp.take_along_axis(v, idx0, axis=1)
             s1 = jnp.take_along_axis(v, idx1, axis=1)
             s = jnp.where(invalid, 0.0, s0 + frac * (s1 - s0))
-            # Per-recording z-score (ddof=1, eps 1e-6).
-            mu = jnp.mean(s, axis=1, keepdims=True)
-            std = jnp.sqrt(jnp.sum(jnp.square(s - mu), axis=1, keepdims=True) / (s.shape[1] - 1))
-            z = ((s - mu) / jnp.maximum(std, 1e-6)).astype(dtype)
+            iot = jnp.arange(Tg, dtype=jnp.int32)
+            z = _masked_zscore(s, iot[None, :] < n_pad[col][:, None], dtype)
             x[col] = jnp.where(present[col][:, None], z, jnp.asarray(-jnp.inf, dtype))
         return jnp.argmax(model.apply(variables, x), axis=-1).astype(jnp.int32)
 
@@ -418,6 +469,7 @@ class StreamingPipelineRaw:
         raw, meta = self._bufs[0]
         for c in self.signals:
             meta[c]['n'] = 1
+            meta[c]['n_pad'] = 1
             meta[c]['fs'] = 1.0
         jax.block_until_ready(self._launch(raw, meta))
 
@@ -442,8 +494,11 @@ class StreamingPipelineRaw:
             base_frac[c] = jnp.asarray(np.stack([r[1] for r in rows]))
             ratio[c] = jnp.asarray(np.asarray([r[2] for r in rows], np.float32))
         n = {c: jnp.asarray(meta[c]['n']) for c in self.signals}
+        n_pad = {c: jnp.asarray(meta[c]['n_pad']) for c in self.signals}
         present = {c: jnp.asarray(meta[c]['present']) for c in self.signals}
-        return self.forward(self.variables, dev_raw, a, b, base_int, base_frac, ratio, n, present)
+        return self.forward(
+            self.variables, dev_raw, a, b, base_int, base_frac, ratio, n, n_pad, present
+        )
 
     def run(self, fps: list[str]) -> Iterator[tuple[str, np.ndarray]]:
         if fps:
@@ -458,7 +513,9 @@ class StreamingPipelineRaw:
         )
 
 
-Q16_META_DTYPE = np.dtype([('a', 'f4'), ('b', 'f4'), ('n_valid', 'i4'), ('present', '?')])
+Q16_META_DTYPE = np.dtype(
+    [('a', 'f4'), ('b', 'f4'), ('n_valid', 'i4'), ('n_pad', 'i4'), ('present', '?')]
+)
 
 
 class Q16NightExtractor:
@@ -481,8 +538,9 @@ class Q16NightExtractor:
         self._lib = native.get_lib() if use_native else None
         self._step = {col: 30.0 / COLS_TO_SAMPLES_PER_EPOCH[col] for col in self.signals}
 
-    def extract_into(self, fp: str, out_i16: dict[str, np.ndarray], meta: dict[str, np.ndarray], row: int) -> None:
+    def extract_into(self, fp: str, out_i16: dict[str, np.ndarray], meta: dict[str, np.ndarray], row: int) -> int:
         with EdfFile(fp) as f:
+            n_epochs = int(f.header.duration_seconds // 30)
             labels = f.labels()
             units_map = {c.label: c.unit for c in f.header.channels}
             for col in self.signals:
@@ -491,7 +549,7 @@ class Q16NightExtractor:
                 actual = get_column_match(col, labels, units_map=units_map, raise_error=False)
                 if actual is None:
                     dst.fill(0)
-                    m[row] = (0.0, 0.0, 0, False)
+                    m[row] = (0.0, 0.0, 0, 0, False)
                     continue
                 ch = f.channel(actual)
                 fs = f.sampling_freq(actual)
@@ -517,7 +575,8 @@ class Q16NightExtractor:
                     ).reshape(-1).astype(np.float64)
                     res, n_valid = _resample_digital_f64(dig, self._step[col] * fs, len(dst))
                     dst[:] = np.rint(res).astype(np.int16)
-                m[row] = (a, b, n_valid, True)
+                m[row] = (a, b, n_valid, n_epochs * COLS_TO_SAMPLES_PER_EPOCH[col], True)
+            return n_epochs
 
 
 def _resample_digital_f64(dig: np.ndarray, ratio: float, m: int) -> tuple[np.ndarray, int]:
@@ -544,15 +603,13 @@ def make_streaming_forward_q16(model, precision: str = 'bfloat16', output: str =
     dtype = jnp.bfloat16 if precision == 'bfloat16' else jnp.float32
 
     @jax.jit
-    def forward(variables, q, a, b, n_valid, present):
+    def forward(variables, q, a, b, n_valid, n_pad, present):
         x = {}
         for col, r in q.items():
             v = r.astype(jnp.float32) * a[col][:, None] + b[col][:, None]
             iot = jnp.arange(r.shape[1], dtype=jnp.int32)
             v = jnp.where(iot[None, :] < n_valid[col][:, None], v, 0.0)
-            mu = jnp.mean(v, axis=1, keepdims=True)
-            std = jnp.sqrt(jnp.sum(jnp.square(v - mu), axis=1, keepdims=True) / (v.shape[1] - 1))
-            z = ((v - mu) / jnp.maximum(std, 1e-6)).astype(dtype)
+            z = _masked_zscore(v, iot[None, :] < n_pad[col][:, None], dtype)
             x[col] = jnp.where(present[col][:, None], z, jnp.asarray(-jnp.inf, dtype))
         logits = model.apply(variables, x)
         if output == 'logits':
@@ -560,6 +617,26 @@ def make_streaming_forward_q16(model, precision: str = 'bfloat16', output: str =
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)
 
     return forward
+
+
+def _masked_zscore(v, valid, dtype):
+    """Per-recording z-score (ddof=1, eps 1e-6) over the ``valid`` grid
+    points only, with everything past them set to the -inf padding
+    sentinel. ``valid`` is EPOCH-granular (the night's whole epochs):
+    zero-filled out-of-range boundary samples WITHIN those epochs count as
+    data, exactly like the parquet path (reference ingestion zero-fills
+    out-of-range samples; the dataset pads whole epochs beyond the night
+    with -inf). ``v`` must already be zeroed outside the data region."""
+    import jax.numpy as jnp
+
+    cnt = jnp.sum(valid, axis=1, keepdims=True).astype(jnp.float32)
+    mu = jnp.sum(v, axis=1, keepdims=True) / jnp.maximum(cnt, 1.0)
+    centered = jnp.where(valid, v - mu, 0.0)
+    std = jnp.sqrt(
+        jnp.sum(jnp.square(centered), axis=1, keepdims=True) / jnp.maximum(cnt - 1.0, 1.0)
+    )
+    z = ((v - mu) / jnp.maximum(std, 1e-6)).astype(dtype)
+    return jnp.where(valid, z, jnp.asarray(-jnp.inf, dtype))
 
 
 class StreamingPipelineQ16:
@@ -640,6 +717,7 @@ class StreamingPipelineQ16:
         q, meta = self._bufs[0]
         for c in self.signals:
             meta[c]['n_valid'] = 1
+            meta[c]['n_pad'] = 1
             if 'vmax' in meta[c].dtype.names:
                 meta[c]['vmax'] = 1.0
         jax.block_until_ready(self._launch(q, meta))
@@ -657,12 +735,15 @@ class StreamingPipelineQ16:
         return jnp.asarray(arr) if self._vec_sharding is None else jax.device_put(arr, self._vec_sharding)
 
     def _launch(self, q, meta):
+        # The forward's operand order is the meta dtype's field order
+        # (q16: a, b, n_valid, present; q8 adds vmax) — one implementation
+        # serves both transports.
         dev = {c: self._put_row(q[c]) for c in self.signals}
-        a = {c: self._put_vec(meta[c]['a']) for c in self.signals}
-        b = {c: self._put_vec(meta[c]['b']) for c in self.signals}
-        n_valid = {c: self._put_vec(meta[c]['n_valid']) for c in self.signals}
-        present = {c: self._put_vec(meta[c]['present']) for c in self.signals}
-        return self.forward(self.variables, dev, a, b, n_valid, present)
+        vecs = [
+            {c: self._put_vec(meta[c][name]) for c in self.signals}
+            for name in self.meta_dtype.names
+        ]
+        return self.forward(self.variables, dev, *vecs)
 
     def run(self, fps: list[str]) -> Iterator[tuple[str, np.ndarray]]:
         return _stream(
@@ -675,7 +756,7 @@ class StreamingPipelineQ16:
 
 
 Q8_META_DTYPE = np.dtype(
-    [('a', 'f4'), ('b', 'f4'), ('vmax', 'f4'), ('n_valid', 'i4'), ('present', '?')]
+    [('a', 'f4'), ('b', 'f4'), ('vmax', 'f4'), ('n_valid', 'i4'), ('n_pad', 'i4'), ('present', '?')]
 )
 
 MU_LAW = 255.0
@@ -701,10 +782,11 @@ class Q8NightExtractor:
         self._step = {col: 30.0 / COLS_TO_SAMPLES_PER_EPOCH[col] for col in self.signals}
         self._vmax_out = ctypes.c_double(0.0) if self._lib is not None else None
 
-    def extract_into(self, fp: str, out_i8: dict[str, np.ndarray], meta: dict[str, np.ndarray], row: int) -> None:
+    def extract_into(self, fp: str, out_i8: dict[str, np.ndarray], meta: dict[str, np.ndarray], row: int) -> int:
         import ctypes
 
         with EdfFile(fp) as f:
+            n_epochs = int(f.header.duration_seconds // 30)
             labels = f.labels()
             units_map = {c.label: c.unit for c in f.header.channels}
             for col in self.signals:
@@ -713,7 +795,7 @@ class Q8NightExtractor:
                 actual = get_column_match(col, labels, units_map=units_map, raise_error=False)
                 if actual is None:
                     dst.fill(0)
-                    m[row] = (0.0, 0.0, 1.0, 0, False)
+                    m[row] = (0.0, 0.0, 1.0, 0, 0, False)
                     continue
                 ch = f.channel(actual)
                 fs = f.sampling_freq(actual)
@@ -748,7 +830,8 @@ class Q8NightExtractor:
                     q = np.rint(127.0 * np.log1p(MU_LAW * x) / np.log1p(MU_LAW))
                     dst[:] = (np.sign(d) * q).astype(np.int8)
                     dst[n_valid:] = 0
-                m[row] = (a, b, vmax, n_valid, True)
+                m[row] = (a, b, vmax, n_valid, n_epochs * COLS_TO_SAMPLES_PER_EPOCH[col], True)
+            return n_epochs
 
 
 def make_streaming_forward_q8(model, precision: str = 'bfloat16', output: str = 'argmax') -> Callable:
@@ -760,7 +843,7 @@ def make_streaming_forward_q8(model, precision: str = 'bfloat16', output: str = 
     log1p_mu = float(np.log1p(MU_LAW))
 
     @jax.jit
-    def forward(variables, q, a, b, vmax, n_valid, present):
+    def forward(variables, q, a, b, vmax, n_valid, n_pad, present):
         x = {}
         for col, r in q.items():
             qf = r.astype(jnp.float32)
@@ -770,9 +853,7 @@ def make_streaming_forward_q8(model, precision: str = 'bfloat16', output: str = 
             v = dig * a[col][:, None] + b[col][:, None]
             iot = jnp.arange(r.shape[1], dtype=jnp.int32)
             v = jnp.where(iot[None, :] < n_valid[col][:, None], v, 0.0)
-            mu = jnp.mean(v, axis=1, keepdims=True)
-            std = jnp.sqrt(jnp.sum(jnp.square(v - mu), axis=1, keepdims=True) / (v.shape[1] - 1))
-            z = ((v - mu) / jnp.maximum(std, 1e-6)).astype(dtype)
+            z = _masked_zscore(v, iot[None, :] < n_pad[col][:, None], dtype)
             x[col] = jnp.where(present[col][:, None], z, jnp.asarray(-jnp.inf, dtype))
         logits = model.apply(variables, x)
         if output == 'logits':
@@ -796,15 +877,6 @@ class StreamingPipelineQ8(StreamingPipelineQ16):
 
     def _make_extractor(self):
         return Q8NightExtractor(self.signals, self.max_length_hours)
-
-    def _launch(self, q, meta):
-        dev = {c: self._put_row(q[c]) for c in self.signals}
-        a = {c: self._put_vec(meta[c]['a']) for c in self.signals}
-        b = {c: self._put_vec(meta[c]['b']) for c in self.signals}
-        vmax = {c: self._put_vec(meta[c]['vmax']) for c in self.signals}
-        n_valid = {c: self._put_vec(meta[c]['n_valid']) for c in self.signals}
-        present = {c: self._put_vec(meta[c]['present']) for c in self.signals}
-        return self.forward(self.variables, dev, a, b, vmax, n_valid, present)
 
 
 class StreamingPipeline:
@@ -849,7 +921,9 @@ class StreamingPipeline:
         jax.block_until_ready(self.forward(self.variables, batch))
 
     def run(self, fps: list[str]) -> Iterator[tuple[str, np.ndarray]]:
-        """Yield (filepath, hypnogram[int32, S]) for each night."""
+        """Yield (filepath, hypnogram[int32]) per night, trimmed to the
+        night's real epochs (a short recording yields fewer than the grid's
+        1,200)."""
         import jax.numpy as jnp
 
         def launch(buf):
