@@ -99,6 +99,12 @@ def main(argv: list[str] | None = None) -> dict:
             num_classes=cfg['num_classes'],
             epochs_per_night=cfg.get('pad_to_epochs') or int(round(cfg['max_length_hours'] * 120)),
             family=family,
+            # Probe with the param-sized state the real step will carry:
+            # in-graph EMA tree (offloaded EMA lives on the host) and the
+            # MultiSteps acc_grads tree (accumulation is decided from the
+            # tuned size, so probe conservatively with it present).
+            ema=cfg['training']['ema']['enabled'] and not cfg['training']['ema'].get('offload', False),
+            grad_accum=True,
         )
         if tuned:
             logger.info(f'Tuned batch size: {tuned}')

@@ -122,3 +122,34 @@ def test_pad_or_truncate(tmp_path):
     truncated = pad_or_truncate_item(item, 4)
     assert truncated[0]['ECG'].shape == (1024 * 4,)
     assert truncated[1].shape == (4,)
+
+
+def test_batch_iterator_bounded_lookahead(tmp_path):
+    """An abandoned iterator must not keep loading the whole epoch: the
+    producer's submission window bounds completed-but-unconsumed batches
+    (submitting every batch up front let workers pile an epoch's collated
+    batches into host RAM and left a thread loading after the consumer
+    broke out)."""
+    import time
+
+    fps = [make_night(tmp_path, name=f'n{i}', epochs=2, cols=('ECG',)) for i in range(24)]
+    ds = ParquetDataset(fps, columns=['ECG'], num_classes=4)
+    calls = {'n': 0}
+    orig = ParquetDataset.__getitem__
+
+    def counting(self, i):
+        calls['n'] += 1
+        return orig(self, i)
+
+    ParquetDataset.__getitem__ = counting
+    try:
+        it = batch_iterator(ds, batch_size=1, num_threads=2, prefetch=2)
+        next(it)
+        next(it)
+        it.close()
+        time.sleep(0.5)  # let any in-flight futures finish
+        # window = threads + prefetch = 4; consumed 2. Everything the
+        # producer may legitimately have touched is well under the epoch.
+        assert calls['n'] <= 12, calls['n']
+    finally:
+        ParquetDataset.__getitem__ = orig

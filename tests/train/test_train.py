@@ -212,3 +212,18 @@ def test_weight_ema_tracks_reference_formula():
     expected = 0.5 * prev_ema + 0.5 * leaf(state.params)
     np.testing.assert_allclose(leaf(state.ema_params), expected, rtol=1e-5, atol=1e-7)
     assert not np.allclose(leaf(state.ema_params), leaf(state.params))
+
+
+def test_plateau_min_lr_floors_effective_lr():
+    """min_lr floors the EFFECTIVE learning rate (torch ReduceLROnPlateau:
+    new_lr = max(old_lr * factor, min_lr)) — not the raw scale. With
+    base_lr=1e-3 and min_lr=1e-5 the scale floor is 1e-2, so two plateaus
+    land exactly on min_lr instead of 1e-3 * 1e-5."""
+    pc = PlateauController(factor=0.1, patience=0, min_lr=1e-5, base_lr=1e-3)
+    pc.update(1.0)  # best
+    s1 = pc.update(1.0)  # bad epoch -> 0.1
+    s2 = pc.update(1.0)  # -> floored at 1e-2
+    s3 = pc.update(1.0)  # stays at the floor
+    assert s1 == pytest.approx(0.1)
+    assert s2 == pytest.approx(1e-2)  # 1e-3 * 1e-2 == min_lr
+    assert s3 == pytest.approx(1e-2)

@@ -96,3 +96,28 @@ def test_checkpoint_roundtrip_on_mesh(corpus, tmp_path):  # noqa: F811
     assert np.isfinite(metrics['val_loss'])
     t2.fit(resume_from='last')
     assert int(t2.state.step) > step_before
+
+
+def test_partial_batches_padded_on_mesh(tmp_path):
+    """Night counts that don't divide the batch size must not crash mesh
+    placement: partial final batches are padded to one compiled shape with
+    ignore rows (zero signals, labels -1 — skipped by both the loss and the
+    confusion matrix), so the mesh run still matches single-device. The
+    pre-fix behavior was a NamedSharding ValueError at the first partial
+    batch ('axis 0 is partitioned 4 ways, but dimension size is 2')."""
+    from tests.train.test_trainer_smoke import write_corpus
+
+    root = tmp_path / 'corpus3'
+    write_corpus(root, nights_per_split=3)  # 6 train / 3+3 val nights, batch 4
+    common = dict(epochs=1, masker=None, flip_polarity=False)
+    single = make_trainer(root, tmp_path / 'single', **common)
+    final_single = single.fit()
+    meshed = make_trainer(root, tmp_path / 'mesh', mesh=_mesh4(), **common)
+    final_mesh = meshed.fit()
+    assert set(final_mesh) == set(final_single)
+    for key, v in final_single.items():
+        np.testing.assert_allclose(final_mesh[key], v, rtol=2e-3, atol=2e-3, err_msg=key)
+    # predict() pads to the data axis and trims back to the real rows.
+    _, loader = meshed.datamodule.test_loaders()[0]
+    preds = meshed.predict(loader)
+    assert preds['preds'].shape == preds['labels'].shape

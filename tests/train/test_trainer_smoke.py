@@ -479,3 +479,44 @@ def test_fit_bfloat16_precision(corpus, tmp_path):
     trainer = make_trainer(corpus, tmp_path / 'bf16', epochs=1, precision='bfloat16')
     out = trainer.fit()
     assert np.isfinite(out['val_loss']), out
+
+
+def test_fit_stops_on_non_finite_val_loss(corpus, tmp_path, monkeypatch, caplog):
+    """A diverged run (NaN/inf val_loss) must stop instead of burning the
+    full epoch budget (Lightning EarlyStopping check_finite role) — the old
+    guard skipped early_stopping.update entirely on non-finite values, so
+    the wait counter never advanced."""
+    import logging
+
+    t = make_trainer(corpus, tmp_path / 'nanrun', epochs=5, masker=None, flip_polarity=False)
+    calls = {'n': 0}
+
+    def nan_eval(mode='val', epoch=None):
+        calls['n'] += 1
+        return {'val_loss': float('nan')}
+
+    monkeypatch.setattr(t, 'evaluate', nan_eval)
+    with caplog.at_level(logging.WARNING):
+        t.fit()
+    assert calls['n'] == 1  # stopped after the first epoch, not 5
+    assert any('non-finite val_loss' in r.message for r in caplog.records)
+
+
+def test_destination_space_check_resumable(tmp_path):
+    """The staging space check counts only the REMAINING bytes: a
+    partially-staged copy both occupies destination space and shrinks what
+    rsync still transfers, so requiring room for the full source would
+    refuse to resume an interrupted stage. Also: the destination may not
+    exist yet."""
+    from wav2sleep_tpu.train.datamodule import _check_destination_space
+
+    src = tmp_path / 'src'
+    src.mkdir()
+    (src / 'a.bin').write_bytes(b'x' * 10_000)
+    # Destination does not exist: must not raise FileNotFoundError.
+    _check_destination_space(str(src), str(tmp_path / 'dst_new' / 'data'))
+    # Fully staged copy: remaining is 0 regardless of free space.
+    dst = tmp_path / 'dst_done'
+    dst.mkdir()
+    (dst / 'a.bin').write_bytes(b'x' * 10_000)
+    _check_destination_space(str(src), str(dst))

@@ -234,20 +234,52 @@ def batch_iterator(
     q: queue.Queue = queue.Queue(maxsize=prefetch)
     stop = threading.Event()
 
+    def put(item) -> bool:
+        # Stop-aware: an abandoned generator (consumer breaks early) must
+        # release a producer blocked on the bounded queue.
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.2)
+                return True
+            except queue.Full:
+                continue
+        return False
+
     def producer():
+        from collections import deque
         from concurrent.futures import ThreadPoolExecutor
 
+        # Sliding submission window: submitting every batch up front would
+        # let workers run arbitrarily far ahead of the consumer (the queue
+        # only bounds COMPLETED-AND-DEQUEUED batches, not completed futures)
+        # — an epoch's worth of collated full-night batches can OOM the
+        # host. The window bounds completed-but-unconsumed batches to
+        # ~num_threads + prefetch.
+        window = max(num_threads + prefetch, 1)
+        pending: deque = deque()
+        it = iter(batches)
         with ThreadPoolExecutor(max_workers=num_threads) as pool:
-            futures = [pool.submit(load_batch, idxs) for idxs in batches]
-            for fut in futures:
-                if stop.is_set():
-                    return
-                try:
-                    q.put(('ok', fut.result()))
-                except Exception as e:  # noqa: BLE001
-                    q.put(('err', e))
-                    return
-        q.put(('done', None))
+            try:
+                while not stop.is_set():
+                    while len(pending) < window:
+                        idxs = next(it, None)
+                        if idxs is None:
+                            break
+                        pending.append(pool.submit(load_batch, idxs))
+                    if not pending:
+                        put(('done', None))
+                        return
+                    fut = pending.popleft()
+                    try:
+                        item = ('ok', fut.result())
+                    except Exception as e:  # noqa: BLE001
+                        put(('err', e))
+                        return
+                    if not put(item):
+                        return
+            finally:
+                for fut in pending:
+                    fut.cancel()
 
     thread = threading.Thread(target=producer, daemon=True)
     thread.start()

@@ -98,23 +98,22 @@ class SleepDataModule:
         self._train_fps = []
         for ds in self.train_datasets:
             self._train_fps += self._fps(ds, TRAIN)
-        # Val loader 0 combines all val datasets except census (its nights
-        # are drawn from the other datasets — including it would duplicate).
-        self.val_dataset_map: dict[int, str] = {0: 'all'}
+        # The combined val loader (named 'all') merges all val datasets
+        # except census (its nights are drawn from the other datasets —
+        # including it would duplicate). Consumers identify loaders by the
+        # names val_loaders()/test_loaders() return, never by index (loaders
+        # with no files are skipped).
         self._val_fps_combined = []
         self._val_fps_per_ds: list[tuple[str, list[str]]] = []
-        for i, ds in enumerate(self.val_datasets):
+        for ds in self.val_datasets:
             fps = self._fps(ds, VAL)
             if ds != CENSUS:
                 self._val_fps_combined += fps
             self._val_fps_per_ds.append((ds, fps))
-            self.val_dataset_map[i + 1] = ds
-        self.test_dataset_map: dict[int, str] = {}
         self._test_fps_per_ds: list[tuple[str, list[str]]] = []
         if self.test:
-            for i, ds in enumerate(self.test_datasets):
+            for ds in self.test_datasets:
                 self._test_fps_per_ds.append((ds, self._fps(ds, TEST)))
-                self.test_dataset_map[i] = ds
 
     def _fps(self, dataset: str, split: str) -> list[str]:
         return get_parquet_fps_for_dataset(
@@ -197,20 +196,31 @@ class SleepDataModule:
         return out
 
 
-def _check_destination_space(src: str, dst: str) -> None:
-    """Refuse to stage when the destination lacks room for the source
-    (reference datamodule.py:37-60)."""
-    total_src = 0
-    for root, _, files in os.walk(src):
+def _tree_size(folder: str) -> int:
+    total = 0
+    for root, _, files in os.walk(folder):
         for f in files:
             try:
-                total_src += os.path.getsize(os.path.join(root, f))
+                total += os.path.getsize(os.path.join(root, f))
             except OSError:
                 pass
-    usage = shutil.disk_usage(os.path.dirname(dst) or '/')
-    if usage.free < total_src * 1.05:
+    return total
+
+
+def _check_destination_space(src: str, dst: str) -> None:
+    """Refuse to stage when the destination lacks room for the REMAINING
+    bytes (reference datamodule.py:37-60). A partially-staged copy already
+    occupies destination space AND reduces what rsync still has to
+    transfer — counting the full source against the remaining free space
+    would wrongly refuse to resume an interrupted stage."""
+    total_src = _tree_size(src)
+    remaining = max(total_src - _tree_size(dst) if os.path.isdir(dst) else total_src, 0)
+    os.makedirs(dst, exist_ok=True)  # disk_usage needs an existing path
+    usage = shutil.disk_usage(dst)
+    if usage.free < remaining * 1.05:
         raise RuntimeError(
-            f'Not enough space to stage {src} ({total_src / 1e9:.1f} GB) '
+            f'Not enough space to stage {src} ({remaining / 1e9:.1f} GB '
+            f'remaining of {total_src / 1e9:.1f} GB) '
             f'into {dst} ({usage.free / 1e9:.1f} GB free).'
         )
 

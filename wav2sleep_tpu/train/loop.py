@@ -188,7 +188,9 @@ class Trainer:
     def __post_init__(self):
         self.metrics_logger = MetricsLogger(self.log_dir, self.num_classes)
         self.early_stopping = EarlyStopping(patience=self.early_stopping_patience)
-        self.plateau = PlateauController() if self.scheduler == 'plateau' else None
+        self.plateau = (
+            PlateauController(base_lr=self.lr) if self.scheduler == 'plateau' else None
+        )
         if self.scheduler == 'expdecay':
             schedule = exp_warmup_schedule(self.lr, self.warmup_steps, self.tau)
         else:
@@ -293,7 +295,40 @@ class Trainer:
             from ..parallel.mesh import shard_batch
 
             return shard_batch(self.mesh, (x, y))
-        return (x, y)
+        # Explicit async H2D: returning host numpy would defer the transfer
+        # into the jit dispatch, making the staging ring's reuse guard
+        # (_ring_slot blocks on these refs) a no-op on the single-chip path.
+        return jax.device_put((x, y))
+
+    def _pad_batch(self, x, y, target: int | None):
+        """Pad a partial batch to ``target`` rows with zero signals and
+        ignore labels (-1). Loss and the confusion matrix skip labels < 0
+        (train/metrics.py), so padding changes no metric; it keeps ONE
+        compiled shape per phase and keeps the batch divisible by the
+        mesh's data axis — a partial final batch would otherwise fail
+        NamedSharding placement (ValueError) or trigger a fresh
+        multi-minute compile. Returns (x, y, real_rows)."""
+        B = int(y.shape[0])
+        if target is None or B >= target:
+            return x, y, B
+        pad = target - B
+        x = {
+            k: np.concatenate([v, np.zeros((pad, *v.shape[1:]), v.dtype)], axis=0)
+            for k, v in x.items()
+        }
+        y = np.concatenate([y, np.full((pad, *y.shape[1:]), -1, y.dtype)], axis=0)
+        return x, y, B
+
+    def _batch_target(self, B: int, configured: int | None) -> int | None:
+        """Row count a batch of ``B`` real rows should be padded to: the
+        configured loader batch size when short of it, rounded up to the
+        next multiple of the mesh's data axis (the configured size itself
+        may not divide it)."""
+        target = max(B, int(configured)) if configured is not None else B
+        if self.mesh is not None:
+            n_data = self.mesh.shape['data']
+            target = -(-target // n_data) * n_data
+        return None if target == B else target
 
     # ------------------------------------------------------------------
     def _progress(self, it, desc: str):
@@ -317,6 +352,9 @@ class Trainer:
         returned device batch is recorded against its ring slot so
         ``_ring_slot`` can guard reuse (page-warm pooled buffers: fresh
         large allocations fault at ~12 MB/s on sandboxed hosts)."""
+        x, y, _ = self._pad_batch(
+            x, y, self._batch_target(y.shape[0], getattr(self.datamodule, 'batch_size', None))
+        )
         slot_idx = None
         if self.input_transport == 'q8':
             from ..ops.q8_transport import encode_batch
@@ -429,14 +467,22 @@ class Trainer:
             if copy_async is not None:
                 copy_async()
         self._ema_pending.append(params)
+        # Bound the queue's HBM footprint (each entry pins a param-tree
+        # copy): fold entries older than the pipeline depth eagerly — their
+        # async D2H finished steps ago, so this blocks on nothing.
+        while len(self._ema_pending) > max(2, self.stage_ring):
+            self._fold_host_ema(self._ema_pending.pop(0))
+
+    def _fold_host_ema(self, params) -> None:
+        d = self.ema_decay
+        host = jax.device_get(params)
+        self._host_ema = jax.tree_util.tree_map(
+            lambda e, p: d * e + (1.0 - d) * p, self._host_ema, host
+        )
 
     def _drain_host_ema(self) -> None:
-        d = self.ema_decay
         for params in self._ema_pending:
-            host = jax.device_get(params)
-            self._host_ema = jax.tree_util.tree_map(
-                lambda e, p: d * e + (1.0 - d) * p, self._host_ema, host
-            )
+            self._fold_host_ema(params)
         self._ema_pending.clear()
 
     # ------------------------------------------------------------------
@@ -452,7 +498,7 @@ class Trainer:
             return self.state.ema_params
         return self.state.params
 
-    def _run_eval(self, loader, subsets: tuple[tuple[str, ...], ...] = ()):
+    def _run_eval(self, loader, subsets: tuple[tuple[str, ...], ...] = (), batch_size: int | None = None):
         """ONE pass over a loader: each batch is read from parquet and
         transferred to device once, then evaluated under the full modality
         set plus every requested signal subset. The presence-mask eval graph
@@ -474,17 +520,21 @@ class Trainer:
         # under that compute, then fetch. Eval batches are fresh loader
         # arrays (no pooled host slots), so only dispatch depth matters —
         # bounded to one batch ahead by the per-batch fetch below.
+        def stage(nxt):
+            if nxt is None:
+                return None
+            x, y, _ = self._pad_batch(*nxt, self._batch_target(nxt[1].shape[0], batch_size))
+            return self._device_batch(x, y), x, y.shape[0]
+
         host_it = iter(loader)
-        nxt = next(host_it, None)
-        staged = (self._device_batch(*nxt), nxt[0], nxt[1].shape[0]) if nxt is not None else None
+        staged = stage(next(host_it, None))
         while staged is not None:
             batch, x_host, B = staged
             outs = [
                 (key, self._jit_eval(params, self.state.batch_stats, batch, presence(key, x_host, B)))
                 for key in keys
             ]
-            nxt = next(host_it, None)
-            staged = (self._device_batch(*nxt), nxt[0], nxt[1].shape[0]) if nxt is not None else None
+            staged = stage(next(host_it, None))
             for key, out in outs:
                 losses[key].append(float(out['loss']))
                 cmats[key] += np.asarray(out['cmat'], np.int64)
@@ -519,11 +569,17 @@ class Trainer:
         """Full eval matrix; returns flat metrics incl. ``{mode}_loss``."""
         epoch = self.current_epoch if epoch is None else epoch
         loaders = self.datamodule.val_loaders() if mode == VAL else self.datamodule.test_loaders()
+        eval_bs = getattr(
+            self.datamodule, 'val_batch_size' if mode == VAL else 'test_batch_size', None
+        )
         results: dict[str, float] = {}
-        for idx, (ds_name, loader) in enumerate(loaders):
-            is_combined = mode == VAL and idx == 0
+        for ds_name, loader in loaders:
+            # Identify the combined loader by NAME: when the combined fps
+            # list is empty, val_loaders() skips it and index 0 would be a
+            # per-dataset loader mislabeled as the global val_loss.
+            is_combined = mode == VAL and ds_name == 'all'
             subsets = () if is_combined else tuple(self._subset_matrix(ds_name, mode))
-            stats = self._run_eval(loader, subsets)
+            stats = self._run_eval(loader, subsets, batch_size=eval_bs)
             loss, cmat = stats[None]
             if is_combined:
                 results[f'{mode}_loss'] = loss
@@ -535,6 +591,17 @@ class Trainer:
                 loss_s, cmat_s = stats[subset]
                 results[f'{mode}_{sig_prefix}_loss_{ds_name}'] = loss_s
                 self.metrics_logger.log_confusion(cmat_s, epoch, prefix=f'{mode}_{sig_prefix}_{ds_name}')
+        if mode == VAL and f'{mode}_loss' not in results:
+            # No combined loader (e.g. census-only, which the combined list
+            # excludes): early stopping / checkpoint selection still need a
+            # global val_loss — use the per-dataset mean.
+            per_ds = [v for k, v in results.items() if k.startswith(f'{mode}_loss_')]
+            if per_ds:
+                results[f'{mode}_loss'] = float(np.mean(per_ds))
+                logger.warning(
+                    'No combined val loader; val_loss is the mean of the '
+                    'per-dataset val losses.'
+                )
         self.metrics_logger.log(results, step=epoch)
         return results
 
@@ -563,7 +630,14 @@ class Trainer:
                 self.state = _set_lr_scale(self.state, scale)
             is_best = val_loss <= self.early_stopping.best
             ckpt.save(self, epoch, val_loss, is_best=is_best)
-            if np.isfinite(val_loss) and self.early_stopping.update(val_loss):
+            if not np.isfinite(val_loss):
+                # Lightning EarlyStopping check_finite role: a diverged run
+                # (NaN/inf monitor) must stop, not burn the epoch budget.
+                logger.warning(
+                    f'Stopping at epoch {epoch}: non-finite val_loss ({val_loss}).'
+                )
+                break
+            if self.early_stopping.update(val_loss):
                 logger.info(f'Early stopping at epoch {epoch} (best val_loss {self.early_stopping.best:.4f}).')
                 break
         return last_val
@@ -579,18 +653,21 @@ class Trainer:
         want_ecg_thx = want_ecg and THX in cols
         for x, y in loader:
             outputs['labels'].append(np.asarray(y))
-            batch = self._device_batch(x, y)  # one transfer, all variants
+            # Pad partial batches to the mesh's data axis (ignore rows);
+            # predictions are trimmed back to the real rows below.
+            x, y_pad, B = self._pad_batch(x, y, self._batch_target(y.shape[0], None))
+            Bp = y_pad.shape[0]
+            batch = self._device_batch(x, y_pad)  # one transfer, all variants
             out = self._jit_eval(params, self.state.batch_stats, batch, None)
-            outputs['preds'].append(np.asarray(out['preds']))
-            B = y.shape[0]
+            outputs['preds'].append(np.asarray(out['preds'])[:B])
             if want_ecg:
-                present = {k: np.full((B,), k == ECG, bool) for k in x}
+                present = {k: np.full((Bp,), k == ECG, bool) for k in x}
                 out = self._jit_eval(params, self.state.batch_stats, batch, present)
-                outputs.setdefault(f'preds_{ECG}', []).append(np.asarray(out['preds']))
+                outputs.setdefault(f'preds_{ECG}', []).append(np.asarray(out['preds'])[:B])
             if want_ecg_thx:
-                present = {k: np.full((B,), k in (ECG, THX), bool) for k in x}
+                present = {k: np.full((Bp,), k in (ECG, THX), bool) for k in x}
                 out = self._jit_eval(params, self.state.batch_stats, batch, present)
-                outputs.setdefault(f'preds_{ECG}_{THX}', []).append(np.asarray(out['preds']))
+                outputs.setdefault(f'preds_{ECG}_{THX}', []).append(np.asarray(out['preds'])[:B])
         return {k: np.concatenate(v, axis=0) for k, v in outputs.items()}
 
     def restore(self, path: str, manager=None) -> int:

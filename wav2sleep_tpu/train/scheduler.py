@@ -36,12 +36,18 @@ def exp_warmup_schedule(lr_max: float, warmup_steps: int, tau: float):
 @dataclass
 class PlateauController:
     """Host-side ReduceLROnPlateau (mode=min), matching torch defaults used
-    by the reference config (factor 0.1, patience 2, threshold 1e-5)."""
+    by the reference config (factor 0.1, patience 2, threshold 1e-5).
+
+    ``min_lr`` is a floor on the EFFECTIVE learning rate (torch semantics:
+    ``new_lr = max(old_lr * factor, min_lr)``) — the controller tracks a
+    multiplicative *scale*, so the floor is applied as ``min_lr /
+    base_lr``; pass the schedule's base LR via ``base_lr``."""
 
     factor: float = 0.1
     patience: int = 2
     threshold: float = 1e-5
     min_lr: float = 0.0
+    base_lr: float = 1.0
 
     best: float = float('inf')
     num_bad_epochs: int = 0
@@ -55,7 +61,8 @@ class PlateauController:
         else:
             self.num_bad_epochs += 1
             if self.num_bad_epochs > self.patience:
-                self.scale = max(self.scale * self.factor, self.min_lr)
+                min_scale = self.min_lr / self.base_lr if self.base_lr > 0 else 0.0
+                self.scale = max(self.scale * self.factor, min_scale)
                 self.num_bad_epochs = 0
         return self.scale
 

@@ -23,8 +23,18 @@ def tune_batch_size(
     start: int = 4,
     max_batch: int = 512,
     family: str = 'wav2sleep',
+    ema: bool = False,
+    grad_accum: bool = False,
 ) -> int:
-    """Largest power-of-two batch whose train step fits on one device."""
+    """Largest power-of-two batch whose train step fits on one device.
+
+    The probe step must carry the same param-sized state trees as the REAL
+    training step, or a size that just fits the probe OOMs on the first
+    real step: ``grad_accum=True`` wraps the optimizer in
+    ``optax.MultiSteps`` (one acc_grads tree — its size is independent of
+    the accumulation count, which is only computed after tuning) and
+    ``ema=True`` adds the in-graph EMA tree. Polarity flip and the masker
+    are elementwise (no persistent state) and are left off."""
     import jax
     import jax.numpy as jnp
     import optax
@@ -33,6 +43,8 @@ def tune_batch_size(
     from .step import init_train_state, make_optimizer, make_train_step
 
     tx = make_optimizer(1e-3)
+    if grad_accum:
+        tx = optax.MultiSteps(tx, every_k_schedule=2)
     rng = jax.random.PRNGKey(0)
 
     def make_batch(b: int):
@@ -48,8 +60,13 @@ def tune_batch_size(
     while b <= max_batch:
         try:
             x, y = make_batch(b)
-            state = init_train_state(model, tx, x, rng, family=family)
-            step = jax.jit(make_train_step(model, tx, num_classes, flip_polarity=False, family=family))
+            state = init_train_state(model, tx, x, rng, family=family, ema=ema)
+            step = jax.jit(
+                make_train_step(
+                    model, tx, num_classes, flip_polarity=False, family=family,
+                    **({'ema_decay': 0.999} if ema else {}),
+                )
+            )
             state, metrics = step(state, (x, y), rng)
             jax.block_until_ready(metrics['loss'])
             del state, metrics
