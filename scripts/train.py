@@ -100,10 +100,17 @@ def main(argv: list[str] | None = None) -> dict:
             epochs_per_night=cfg.get('pad_to_epochs') or int(round(cfg['max_length_hours'] * 120)),
             family=family,
             # Probe with the param-sized state the real step will carry:
-            # in-graph EMA tree (offloaded EMA lives on the host) and the
-            # MultiSteps acc_grads tree (accumulation is decided from the
-            # tuned size, so probe conservatively with it present).
+            # in-graph EMA tree, or — when the EMA is offloaded — the
+            # deferred-fold snapshot ring it pins on device instead
+            # (max(2, stage_ring) queued trees + the in-flight one), and
+            # the MultiSteps acc_grads tree (accumulation is decided from
+            # the tuned size, so probe conservatively with it present).
             ema=cfg['training']['ema']['enabled'] and not cfg['training']['ema'].get('offload', False),
+            ema_pending_trees=(
+                max(2, getattr(Trainer, 'stage_ring', 4)) + 1
+                if cfg['training']['ema']['enabled'] and cfg['training']['ema'].get('offload', False)
+                else 0
+            ),
             grad_accum=True,
         )
         if tuned:

@@ -568,3 +568,64 @@ def test_raw_extractor_truncates_to_bucket(tmp_path):
     n = int(meta['ECG'][0]['n'])
     spr = int(fs * 30)
     assert n <= cap and n % spr == 0 and n > 0
+
+
+def test_salvaged_empty_channel_is_missing_modality(tmp_path):
+    """A channel the EDF-header salvage clamped to 0 samples/record (bogus
+    negative spr) must behave like a MISSING modality in every transport —
+    not crash the night (ZeroDivisionError in the raw row reshape, empty-
+    array .max() in the q8 fallback) or feed the model constant zeros."""
+    from wav2sleep_tpu.pipeline import (
+        META_DTYPE,
+        Q8_META_DTYPE,
+        NightDecoder,
+        Q8NightExtractor,
+        RawNightExtractor,
+    )
+
+    rng = np.random.default_rng(11)
+    hours = 4 / 120
+    S = 4
+    fp = str(tmp_path / 'salvaged.edf')
+    write_edf(
+        fp,
+        {'ECG': rng.normal(size=int(125 * 30) * S) * 0.5,
+         'THOR RES': rng.normal(size=int(32 * 30) * S) * 0.4},
+        {'ECG': 125.0, 'THOR RES': 32.0},
+        physical_ranges={'ECG': (-3, 3), 'THOR RES': (-3, 3)},
+        record_duration=30.0,
+    )
+    # Corrupt THOR RES's samples/record field to -1 (signal header layout:
+    # 256-byte header + per-signal fields; spr sits at 256 + 216*ns + i*8).
+    with open(fp, 'r+b') as f:
+        f.seek(256 + 216 * 2 + 1 * 8)
+        f.write(b'-1      ')
+    from wav2sleep_tpu.data.edf import read_edf_header
+
+    h = read_edf_header(fp)
+    assert h.channels[1].samples_per_record == 0  # salvage happened
+
+    cols = ('ECG', 'THX')
+    # f32 decode: salvaged channel becomes the -inf missing sentinel.
+    dec = NightDecoder(list(cols), max_length_hours=hours)
+    out = {c: np.empty(COLS_TO_SAMPLES_PER_EPOCH[c] * S, np.float32) for c in cols}
+    assert dec.decode_into(fp, out) == S
+    assert np.isinf(out['THX']).all()
+    assert np.isfinite(out['ECG']).all()
+
+    # Raw int16: present=False, no ZeroDivisionError.
+    ext = RawNightExtractor(list(cols))
+    raw = {c: np.zeros((1, 65536), np.int16) for c in cols}
+    meta = {c: np.zeros(1, dtype=META_DTYPE) for c in cols}
+    assert ext.extract_into(fp, raw, meta, 0) == S
+    assert not meta['THX'][0]['present']
+    assert meta['ECG'][0]['present'] and meta['ECG'][0]['n'] > 0
+
+    # q8 (native and fallback): present=False, no empty-array .max().
+    for use_native in (True, False):
+        ext8 = Q8NightExtractor(list(cols), max_length_hours=hours, use_native=use_native)
+        q = {c: np.zeros((1, COLS_TO_SAMPLES_PER_EPOCH[c] * S), np.int8) for c in cols}
+        m8 = {c: np.zeros(1, dtype=Q8_META_DTYPE) for c in cols}
+        assert ext8.extract_into(fp, q, m8, 0) == S
+        assert not m8['THX'][0]['present']
+        assert m8['ECG'][0]['present'] and m8['ECG'][0]['n_valid'] > 0

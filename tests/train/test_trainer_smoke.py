@@ -520,3 +520,63 @@ def test_destination_space_check_resumable(tmp_path):
     dst.mkdir()
     (dst / 'a.bin').write_bytes(b'x' * 10_000)
     _check_destination_space(str(src), str(dst))
+
+
+def test_fit_without_validation_trains_all_epochs(corpus, tmp_path, monkeypatch):
+    """A run with NO validation data (evaluate() returns {}) is not a
+    diverged run: fit() must train the full epoch budget with early
+    stopping disabled, instead of misreading the absent val_loss as
+    non-finite and stopping after epoch 0."""
+    t = make_trainer(corpus, tmp_path / 'noval', epochs=3, masker=None, flip_polarity=False)
+    trained = {'n': 0}
+    orig = t.train_epoch
+
+    def counting_train(epoch):
+        trained['n'] += 1
+        return orig(epoch)
+
+    monkeypatch.setattr(t, 'train_epoch', counting_train)
+    monkeypatch.setattr(t, 'evaluate', lambda mode='val', epoch=None: {})
+    t.fit()
+    assert trained['n'] == 3
+
+
+def test_pad_batch_replicates_real_rows(corpus, tmp_path):
+    """Partial-batch padding replicates real signal rows (ignore labels):
+    zero rows would pollute per-batch statistics for batch-coupled
+    normalization (norm='batch' trains with mutable batch_stats), shifting
+    both that step's activations and the running stats evals use."""
+    t = make_trainer(corpus, tmp_path / 'pad')
+    B, L = 3, 16
+    x = {'ECG': np.arange(B * L, dtype=np.float32).reshape(B, L)}
+    y = np.zeros((B, 4), np.int32)
+    xp, yp, real = t._pad_batch(x, y, 8)
+    assert real == B and yp.shape[0] == 8 and xp['ECG'].shape[0] == 8
+    # Padded rows cycle through the real rows — never all-zero rows.
+    for i in range(B, 8):
+        np.testing.assert_array_equal(xp['ECG'][i], x['ECG'][(i - B) % B])
+    assert (yp[B:] == -1).all()
+    assert (yp[:B] == 0).all()
+
+
+def test_destination_space_ignores_stale_content(tmp_path):
+    """Only bytes already staged at the SAME relative path count as
+    progress: stale/unrelated destination content occupies space without
+    reducing what rsync transfers, so crediting raw dst tree size would
+    defeat the free-space guard."""
+    from wav2sleep_tpu.train.datamodule import _staged_bytes
+
+    src = tmp_path / 'src'
+    (src / 'mesa').mkdir(parents=True)
+    (src / 'mesa' / 'a.parquet').write_bytes(b'x' * 10_000)
+    dst = tmp_path / 'dst'
+    (dst / 'old_run').mkdir(parents=True)
+    (dst / 'old_run' / 'junk.bin').write_bytes(b'y' * 50_000)  # unrelated
+    assert _staged_bytes(str(src), str(dst)) == 0
+    # A genuine partial stage at the matching path IS credited (capped at
+    # the source size, so an over-long stale file can't over-credit).
+    (dst / 'mesa').mkdir()
+    (dst / 'mesa' / 'a.parquet').write_bytes(b'x' * 4_000)
+    assert _staged_bytes(str(src), str(dst)) == 4_000
+    (dst / 'mesa' / 'a.parquet').write_bytes(b'x' * 99_000)
+    assert _staged_bytes(str(src), str(dst)) == 10_000

@@ -35,6 +35,7 @@ from ..settings import (
     NORM_OUTLIER_THRESHOLD,
 )
 from ..ops.ema_norm import causal_rolling_normalize
+from ..utils import stop_aware_put
 
 logger = logging.getLogger(__name__)
 
@@ -237,13 +238,7 @@ def batch_iterator(
     def put(item) -> bool:
         # Stop-aware: an abandoned generator (consumer breaks early) must
         # release a producer blocked on the bounded queue.
-        while not stop.is_set():
-            try:
-                q.put(item, timeout=0.2)
-                return True
-            except queue.Full:
-                continue
-        return False
+        return stop_aware_put(q, stop, item)
 
     def producer():
         from collections import deque

@@ -23,6 +23,7 @@ import numpy as np
 from .data.edf import EdfFile, channel_norm_affine, get_column_match
 from .data.preprocessing import resample_uniform
 from .settings import COLS_TO_SAMPLES_PER_EPOCH
+from .utils import stop_aware_put
 
 logger = logging.getLogger(__name__)
 
@@ -73,6 +74,11 @@ class NightDecoder:
                     out[col].fill(-np.inf)
                     continue
                 ch = f.channel(actual)
+                if ch.samples_per_record <= 0 or f.header.n_records <= 0:
+                    # Salvaged (clamped samples/record) or empty channel:
+                    # zero samples carry no information — missing modality.
+                    out[col].fill(-np.inf)
+                    continue
                 _, scale, offset = channel_norm_affine(col, ch.unit, ch.physical_min, ch.physical_max)
                 fs = f.sampling_freq(actual)
                 grid = self._grids[col]
@@ -211,13 +217,7 @@ def _stream(
     stop = threading.Event()
 
     def put(item) -> bool:
-        while not stop.is_set():
-            try:
-                out_q.put(item, timeout=0.2)
-                return True
-            except queue.Full:
-                continue
-        return False
+        return stop_aware_put(out_q, stop, item)
 
     def dup_row(slot_bufs, src: int, dst: int) -> None:
         parts = slot_bufs if isinstance(slot_bufs, tuple) else (slot_bufs,)
@@ -243,7 +243,7 @@ def _stream(
                 slot_bufs = bufs[slot % len(bufs)]
                 slot += 1
                 good: list[str] = []
-                counts: list[int | None] = []
+                counts: list[int] = []
                 for fp in chunk:
                     try:
                         n_epochs = fill_row(slot_bufs, fp, len(good))
@@ -274,8 +274,7 @@ def _stream(
             preds = np.asarray(result)
             for i, fp in enumerate(chunk):
                 hyp = preds[i]
-                n = counts[i]
-                yield fp, (hyp if n is None else hyp[: min(int(n), len(hyp))])
+                yield fp, hyp[: min(int(counts[i]), len(hyp))]
     finally:
         stop.set()
         thread.join()  # bounded: put() polls stop every 0.2 s
@@ -308,7 +307,7 @@ class RawNightExtractor:
                 continue
             ch = next(c for c in h.channels if c.label == actual)
             n = ch.samples_per_record * h.n_records
-            bucket[col] = int(np.ceil(n / 65536)) * 65536
+            bucket[col] = max(1, int(np.ceil(n / 65536))) * 65536
         return bucket
 
     def extract_into(self, fp: str, out_i16: dict[str, np.ndarray], meta: dict[str, np.ndarray], row: int) -> int:
@@ -326,12 +325,17 @@ class RawNightExtractor:
                     m[row] = (0.0, 0.0, 1.0, 0, 0, False)
                     continue
                 ch = f.channel(actual)
+                if ch.samples_per_record <= 0 or f.header.n_records <= 0:
+                    # Header salvage clamps bogus samples/record to 0; such a
+                    # channel holds no data — same as no match.
+                    m[row] = (0.0, 0.0, 1.0, 0, 0, False)
+                    continue
                 n = f.n_samples(actual)
                 cap = out_i16[col].shape[1]
                 # Truncate to whole records when a file outgrows the probed
-                # bucket — the row reshape below needs record multiples.
+                # bucket — the row reshape below needs record multiples
+                # (n itself is already a record multiple).
                 n = min(n, cap - cap % ch.samples_per_record)
-                n -= n % ch.samples_per_record
                 lo = f._offsets[ch.index]
                 view = f._records[:, lo : lo + ch.samples_per_record]
                 dst = out_i16[col][row, :n].reshape(-1, ch.samples_per_record)
@@ -552,6 +556,13 @@ class Q16NightExtractor:
                     m[row] = (0.0, 0.0, 0, 0, False)
                     continue
                 ch = f.channel(actual)
+                if ch.samples_per_record <= 0 or f.header.n_records <= 0:
+                    # Salvaged (clamped samples/record) or empty channel:
+                    # zero samples carry no information — same as no match,
+                    # so the missing-modality path handles it.
+                    dst.fill(0)
+                    m[row] = (0.0, 0.0, 0, 0, False)
+                    continue
                 fs = f.sampling_freq(actual)
                 _, scale, offset = channel_norm_affine(col, ch.unit, ch.physical_min, ch.physical_max)
                 a = ch.bitvalue * scale
@@ -798,6 +809,13 @@ class Q8NightExtractor:
                     m[row] = (0.0, 0.0, 1.0, 0, 0, False)
                     continue
                 ch = f.channel(actual)
+                if ch.samples_per_record <= 0 or f.header.n_records <= 0:
+                    # Salvaged (clamped samples/record) or empty channel:
+                    # zero samples carry no information — same as no match,
+                    # so the missing-modality path handles it.
+                    dst.fill(0)
+                    m[row] = (0.0, 0.0, 1.0, 0, 0, False)
+                    continue
                 fs = f.sampling_freq(actual)
                 _, scale, offset = channel_norm_affine(col, ch.unit, ch.physical_min, ch.physical_max)
                 a = ch.bitvalue * scale

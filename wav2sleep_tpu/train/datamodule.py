@@ -207,6 +207,25 @@ def _tree_size(folder: str) -> int:
     return total
 
 
+def _staged_bytes(src: str, dst: str) -> int:
+    """Bytes of ``src`` already present at the SAME relative path in
+    ``dst``, credited at most the source file's size. Only such bytes
+    reduce what rsync still transfers — stale or unrelated destination
+    content occupies space without being staging progress, so counting
+    raw dst tree size would defeat the free-space guard."""
+    credit = 0
+    for root, _, files in os.walk(src):
+        rel = os.path.relpath(root, src)
+        for f in files:
+            try:
+                s = os.path.getsize(os.path.join(root, f))
+                d = os.path.getsize(os.path.join(dst, rel, f))
+            except OSError:
+                continue
+            credit += min(s, d)
+    return credit
+
+
 def _check_destination_space(src: str, dst: str) -> None:
     """Refuse to stage when the destination lacks room for the REMAINING
     bytes (reference datamodule.py:37-60). A partially-staged copy already
@@ -214,7 +233,7 @@ def _check_destination_space(src: str, dst: str) -> None:
     transfer — counting the full source against the remaining free space
     would wrongly refuse to resume an interrupted stage."""
     total_src = _tree_size(src)
-    remaining = max(total_src - _tree_size(dst) if os.path.isdir(dst) else total_src, 0)
+    remaining = max(total_src - _staged_bytes(src, dst) if os.path.isdir(dst) else total_src, 0)
     os.makedirs(dst, exist_ok=True)  # disk_usage needs an existing path
     usage = shutil.disk_usage(dst)
     if usage.free < remaining * 1.05:

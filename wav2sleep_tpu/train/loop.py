@@ -301,22 +301,26 @@ class Trainer:
         return jax.device_put((x, y))
 
     def _pad_batch(self, x, y, target: int | None):
-        """Pad a partial batch to ``target`` rows with zero signals and
-        ignore labels (-1). Loss and the confusion matrix skip labels < 0
-        (train/metrics.py), so padding changes no metric; it keeps ONE
-        compiled shape per phase and keeps the batch divisible by the
-        mesh's data axis — a partial final batch would otherwise fail
-        NamedSharding placement (ValueError) or trigger a fresh
-        multi-minute compile. Returns (x, y, real_rows)."""
+        """Pad a partial batch to ``target`` rows by replicating real rows,
+        with ignore labels (-1). Loss and the confusion matrix skip labels
+        < 0 (train/metrics.py) and per-row norms don't couple rows, so
+        padding changes no metric; replicated (not zero) signal rows keep
+        batch-coupled normalization honest — norm='batch' models compute
+        per-batch statistics over ALL rows with mutable batch_stats, and
+        zero rows would shift both that step's activations and the running
+        stats every eval later uses. Padding keeps ONE compiled shape per
+        phase and keeps the batch divisible by the mesh's data axis — a
+        partial final batch would otherwise fail NamedSharding placement
+        (ValueError) or trigger a fresh multi-minute compile.
+        Returns (x, y, real_rows)."""
         B = int(y.shape[0])
         if target is None or B >= target:
             return x, y, B
-        pad = target - B
-        x = {
-            k: np.concatenate([v, np.zeros((pad, *v.shape[1:]), v.dtype)], axis=0)
-            for k, v in x.items()
-        }
-        y = np.concatenate([y, np.full((pad, *y.shape[1:]), -1, y.dtype)], axis=0)
+        pad_idx = np.arange(target - B) % B
+        x = {k: np.concatenate([v, v[pad_idx]], axis=0) for k, v in x.items()}
+        y = np.concatenate(
+            [y, np.full((target - B, *y.shape[1:]), -1, y.dtype)], axis=0
+        )
         return x, y, B
 
     def _batch_target(self, B: int, configured: int | None) -> int | None:
@@ -621,6 +625,12 @@ class Trainer:
             train_metrics = self.train_epoch(epoch)
             val_metrics = self.evaluate(VAL, epoch)
             last_val = val_metrics
+            # A run with no validation data at all (no val loaders -> no
+            # 'val_loss' key) is not a diverged run: train the full epoch
+            # budget with early stopping disabled, as the reference does
+            # when the monitor is absent. Only a PRESENT non-finite
+            # val_loss means divergence.
+            has_val = 'val_loss' in val_metrics
             val_loss = val_metrics.get('val_loss', float('nan'))
             logger.info(
                 f'epoch {epoch}: train_loss={train_metrics["train_loss"]:.4f} val_loss={val_loss:.4f}'
@@ -630,6 +640,8 @@ class Trainer:
                 self.state = _set_lr_scale(self.state, scale)
             is_best = val_loss <= self.early_stopping.best
             ckpt.save(self, epoch, val_loss, is_best=is_best)
+            if not has_val:
+                continue
             if not np.isfinite(val_loss):
                 # Lightning EarlyStopping check_finite role: a diverged run
                 # (NaN/inf monitor) must stop, not burn the epoch budget.

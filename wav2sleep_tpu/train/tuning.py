@@ -25,6 +25,7 @@ def tune_batch_size(
     family: str = 'wav2sleep',
     ema: bool = False,
     grad_accum: bool = False,
+    ema_pending_trees: int = 0,
 ) -> int:
     """Largest power-of-two batch whose train step fits on one device.
 
@@ -33,8 +34,12 @@ def tune_batch_size(
     real step: ``grad_accum=True`` wraps the optimizer in
     ``optax.MultiSteps`` (one acc_grads tree — its size is independent of
     the accumulation count, which is only computed after tuning) and
-    ``ema=True`` adds the in-graph EMA tree. Polarity flip and the masker
-    are elementwise (no persistent state) and are left off."""
+    ``ema=True`` adds the in-graph EMA tree. ``ema_pending_trees`` models
+    the CPU-offloaded EMA instead: its deferred fold pins up to
+    ``max(2, stage_ring)`` param-tree snapshots (plus the in-flight one)
+    on device between drains (loop._enqueue_host_ema), HBM the probe must
+    hold live across the step. Polarity flip and the masker are
+    elementwise (no persistent state) and are left off."""
     import jax
     import jax.numpy as jnp
     import optax
@@ -61,6 +66,10 @@ def tune_batch_size(
         try:
             x, y = make_batch(b)
             state = init_train_state(model, tx, x, rng, family=family, ema=ema)
+            # Offloaded-EMA snapshot ring: these trees stay live ACROSS the
+            # step (they are drained asynchronously in the real loop).
+            copy = jax.jit(lambda p: jax.tree_util.tree_map(jnp.copy, p))
+            pending = [copy(state.params) for _ in range(ema_pending_trees)]
             step = jax.jit(
                 make_train_step(
                     model, tx, num_classes, flip_polarity=False, family=family,
@@ -69,7 +78,7 @@ def tune_batch_size(
             )
             state, metrics = step(state, (x, y), rng)
             jax.block_until_ready(metrics['loss'])
-            del state, metrics
+            del state, metrics, pending
             logger.info(f'batch {b}: OK')
             best = b
             b *= 2

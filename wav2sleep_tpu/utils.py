@@ -8,6 +8,7 @@ per TPU-VM host).
 from __future__ import annotations
 
 import functools
+import queue
 import random
 
 import numpy as np
@@ -46,3 +47,20 @@ def fix_seeds(seed: int = 42):
     random.seed(seed)
     np.random.seed(seed)
     return jax.random.PRNGKey(seed)
+
+
+def stop_aware_put(q, stop, item, poll: float = 0.2) -> bool:
+    """Bounded-queue put that aborts when ``stop`` is set.
+
+    Shared by the producer threads in pipeline._stream and
+    data.dataset.batch_iterator: an abandoned generator (consumer breaks
+    early) must release a producer blocked on the bounded queue instead of
+    deadlocking it. Returns False when aborted.
+    """
+    while not stop.is_set():
+        try:
+            q.put(item, timeout=poll)
+            return True
+        except queue.Full:
+            continue
+    return False
