@@ -181,12 +181,26 @@ def run(args) -> dict:
             else:
                 row['epochs_scored'] = 0
             if tmodel is not None:
+                from wav2sleep_tpu.api import EPOCH_BUCKET
+                from wav2sleep_tpu.data.dataset import pad_or_truncate_item
+                from wav2sleep_tpu.settings import MEDIUM_FREQ_SAMPLES_PER_EPOCH
+
                 max_diff, agree_n, total = 0.0, 0, 0
                 for i in range(len(dataset)):
                     x, y = dataset[i]
+                    n = len(y)
+                    # Pad to the same epoch buckets api.predict uses: raw
+                    # per-night lengths would compile one fresh XLA graph
+                    # per distinct night length (minutes each on TPU).
+                    if model.family == 'ppgnet':
+                        bucket = model.module.INPUT_LENGTH // MEDIUM_FREQ_SAMPLES_PER_EPOCH
+                    else:
+                        bucket = int(np.ceil(n / EPOCH_BUCKET) * EPOCH_BUCKET)
+                    x, _ = pad_or_truncate_item((x, y), bucket)
                     xb = {k: np.asarray(v)[None] for k, v in x.items()}
-                    lj = model.logits(xb)[0]
-                    lt = _torch_logits(tmodel, xb)[0]
+                    n = min(n, bucket)
+                    lj = model.logits(xb)[0][:n]
+                    lt = _torch_logits(tmodel, xb)[0][:n]
                     max_diff = max(max_diff, float(np.abs(lj - lt).max()))
                     agree_n += int((lj.argmax(-1) == lt.argmax(-1)).sum())
                     total += lj.shape[0]

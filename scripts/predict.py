@@ -69,7 +69,14 @@ def main(argv=None) -> None:
     if labels is not None:
         import jax.numpy as jnp
 
-        num_classes = int(max(int(np.max(p)) for p in preds)) + 1
+        # num_classes must cover the LABELS too, not just the argmax
+        # predictions: a class the model never predicted would otherwise
+        # shrink the matrix and its labeled epochs would be silently
+        # dropped by the scatter (out-of-bounds .at[].add), skewing kappa.
+        num_classes = 1 + max(
+            max(int(np.max(p)) for p in preds),
+            max(int(np.max(y)) for y in labels),
+        )
         num_classes = max(num_classes, 4)
         cmat = np.zeros((num_classes, num_classes), np.int64)
         for p, y in zip(preds, labels):

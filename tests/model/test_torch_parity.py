@@ -29,7 +29,7 @@ def _to_np(t):
     return t.detach().cpu().numpy()
 
 
-@pytest.mark.parametrize('norm', ['instance', 'layer', None])
+@pytest.mark.parametrize('norm', ['instance', 'layer', 'group', None])
 @pytest.mark.parametrize('causal', [False, True])
 def test_conv_block_parity(ref_blocks, norm, causal):
     torch.manual_seed(0)
@@ -268,3 +268,23 @@ def test_five_class_full_model(ref_models):
     y_j = jmodel.apply(variables, {k: jnp.asarray(v) for k, v in x.items()})
     assert y_j.shape == (1, 3, 5)
     np.testing.assert_allclose(np.asarray(y_j), y_t, atol=5e-4, rtol=5e-4)
+
+
+def test_group_norm_export_roundtrip(ref_blocks, tmp_path):
+    """Group-norm export inverse: flax '<x>/norm/GroupNorm_0/scale' must come
+    back as torch '<x>.norm.norm.weight' (ConvGroupNorm nests the real
+    nn.GroupNorm one level deeper), byte-matching the reference module's
+    own state_dict keys and loading strictly."""
+    from wav2sleep_tpu.checkpoint import export_torch_state_dict
+
+    torch.manual_seed(3)
+    tb = ref_blocks.ConvBlock1D(4, 8, activation='gelu', norm='group')
+    variables = convert_state_dict(torch_sd_to_numpy(tb))
+    out = str(tmp_path / 'group.pth')
+    export_torch_state_dict(out, variables)
+    sd = torch.load(out, weights_only=True)
+    orig = tb.state_dict()
+    assert set(sd.keys()) == set(orig.keys())
+    for k in orig:
+        np.testing.assert_allclose(sd[k].numpy(), orig[k].numpy(), atol=1e-6, err_msg=k)
+    tb.load_state_dict(sd, strict=True)

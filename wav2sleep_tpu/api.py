@@ -47,6 +47,7 @@ class W2SModel:
     config: dict
     precision: str = 'float32'
     _jit_cache: dict = field(default_factory=dict, repr=False)
+    _device_variables: object = field(default=None, repr=False)
 
     @property
     def num_classes(self) -> int:
@@ -85,11 +86,17 @@ class W2SModel:
 
     def logits(self, x: dict[str, np.ndarray]) -> np.ndarray:
         """Per-epoch class logits ``[B, S, C]`` for a dict of ``[B, T]`` inputs."""
+        import jax
         import jax.numpy as jnp
 
+        if self._device_variables is None:
+            # Transfer the weight tree ONCE: passing the host numpy tree to
+            # the jitted forward would re-upload every parameter on every
+            # batch (tens of MB/call through the device link).
+            self._device_variables = jax.device_put(self.variables)
         dtype = jnp.bfloat16 if self.precision == 'bfloat16' else jnp.float32
         xb = {k: jnp.asarray(v, dtype=dtype) for k, v in x.items()}
-        out = self._forward_fn()(self.variables, xb)
+        out = self._forward_fn()(self._device_variables, xb)
         return np.asarray(out, dtype=np.float32)
 
     def predict(self, x: dict[str, np.ndarray]) -> np.ndarray:
@@ -244,7 +251,15 @@ def predict(
         # arrays, so materializing a whole folder up front doesn't scale.
         chunk = [dataset[j] for j in range(i, min(i + batch_size, len(dataset)))]
         epochs = [len(it[1]) for it in chunk]
-        bucket = int(np.ceil(max(epochs) / EPOCH_BUCKET) * EPOCH_BUCKET)
+        if model.family == 'ppgnet':
+            # SleepPPGNet requires its exact training length (models/
+            # ppgnet.py INPUT_LENGTH, 1,200 epochs at 1,024 samples each) —
+            # a shorter 1 h bucket would fail the encode shape check.
+            from .settings import MEDIUM_FREQ_SAMPLES_PER_EPOCH
+
+            bucket = model.module.INPUT_LENGTH // MEDIUM_FREQ_SAMPLES_PER_EPOCH
+        else:
+            bucket = int(np.ceil(max(epochs) / EPOCH_BUCKET) * EPOCH_BUCKET)
         padded = [pad_or_truncate_item(it, bucket) for it in chunk]
         n_pad = batch_size - len(padded)
         padded.extend([padded[-1]] * n_pad)  # Pad batch to static size.

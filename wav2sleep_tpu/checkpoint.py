@@ -116,7 +116,7 @@ def export_torch_state_dict(path: str, variables: dict, config: dict | None = No
         # norm (has running stats) and transformer LayerNorms keep [C].
         if leaf in ('scale', 'bias') and parent == 'norm' and base not in batch_norm_bases:
             value = value.reshape(1, -1, 1)
-        sd[_to_torch_key(key, w, family, sd)] = torch.from_numpy(np.ascontiguousarray(value))
+        sd[_to_torch_key(key, family)] = torch.from_numpy(np.ascontiguousarray(value))
     for key, w in flat_stats.items():
         torch_key = _rename_structural(key.split(_SEP), family)
         leaf = torch_key[-1]
@@ -144,7 +144,12 @@ def _to_torch_value(key: str, w: np.ndarray) -> np.ndarray:
 def _rename_structural(parts: list[str], family: str) -> list[str]:
     out = []
     for p in parts:
-        if p.startswith('encoders_'):
+        if p == 'GroupNorm_0':
+            # ConvGroupNorm nests the actual norm one level deeper in torch
+            # ('<x>.norm.norm.weight'); flax auto-named it GroupNorm_0
+            # (inverse of convert._convert_entry's group-norm rule).
+            out.append('norm')
+        elif p.startswith('encoders_'):
             out += ['encoders', p[len('encoders_') :]]
         elif p.startswith('cnn_'):
             out += ['cnn', p[len('cnn_') :]]
@@ -165,7 +170,7 @@ def _rename_structural(parts: list[str], family: str) -> list[str]:
     return out
 
 
-def _to_torch_key(key: str, w, family: str, sd: dict) -> str:
+def _to_torch_key(key: str, family: str) -> str:
     parts = _rename_structural(key.split(_SEP), family)
     leaf = parts[-1]
     parent = parts[-2] if len(parts) > 1 else ''
@@ -185,7 +190,3 @@ def _to_torch_key(key: str, w, family: str, sd: dict) -> str:
     if leaf == 'bias':
         return '.'.join(base) + '.bias'
     return '.'.join(parts)
-
-
-def _reshape_norm_for_torch(torch_key: str, w: np.ndarray, reference_shape=None) -> np.ndarray:
-    return w

@@ -95,8 +95,6 @@ def _compose_file(config_dir: str, rel: str, group_overrides: dict[str, str]) ->
         (group, name), = entry.items()
         if group.startswith('override ') or group.startswith('/'):
             continue  # hydra-internal (logging etc.) — not used here
-        # Group key: path may be nested ('trainer/profiler').
-        key = group.split('/')[-1]
         full_group = os.path.join(base_dir, group) if base_dir else group
         name = group_overrides.get(group, group_overrides.get(full_group.replace(os.sep, '/'), name))
         if name is None or name == 'null':
@@ -105,13 +103,15 @@ def _compose_file(config_dir: str, rel: str, group_overrides: dict[str, str]) ->
             sub: dict = {}
             for item in name:
                 sub = _deep_merge(sub, _compose_file(config_dir, os.path.join(full_group, str(item)), group_overrides))
-            cfg = _deep_merge(cfg, {key: sub})
+            content = sub
         else:
             content = _compose_file(config_dir, os.path.join(full_group, str(name)), group_overrides)
-            if group == key and '/' not in group:
-                cfg = _deep_merge(cfg, {key: content})
-            else:
-                cfg = _deep_merge(cfg, {key: content})
+        # Hydra packages a group's content at its group PATH: a nested
+        # group 'trainer/profiler' lands at cfg['trainer']['profiler'],
+        # not at the top-level leaf key.
+        for part in reversed(group.split('/')):
+            content = {part: content}
+        cfg = _deep_merge(cfg, content)
     if not merged_self:
         cfg = _deep_merge(cfg, own)
     return cfg
@@ -144,7 +144,10 @@ def compose(config_dir: str, config_name: str = 'main', overrides: list[str] | N
             value_overrides.append((key, _parse_value(val), additive))
     cfg = _compose_file(config_dir, config_name, group_overrides)
     for key, val, additive in value_overrides:
-        _set_path(cfg, key, val, allow_new=True)
+        # Hydra semantics: a plain override must target an EXISTING key (a
+        # typo'd 'epcohs=5' should error, not silently add a dead key and
+        # train with the default); '+key=value' explicitly adds a new one.
+        _set_path(cfg, key, val, allow_new=additive)
     cfg['overrides'] = overrides
     return resolve(cfg)
 

@@ -76,9 +76,12 @@ def _convert_entry(key: str, w: np.ndarray, family: str):
     if parent == 'embedder' and leaf == 'weight':
         return 'params', tuple(parts[:-1]) + ('embedding',), w
 
-    # Group norm nests one more level in torch (ConvGroupNorm.norm).
+    # Group norm nests one more level in torch (ConvGroupNorm.norm holds the
+    # actual nn.GroupNorm): '<x>.norm.norm.weight' -> '<x>/norm/GroupNorm_0/
+    # scale' (flax auto-names the nested module GroupNorm_0; parts[:-2]
+    # already ends with the outer 'norm').
     if len(parts) >= 3 and parts[-2] == 'norm' and parts[-3] == 'norm':
-        base = tuple(parts[:-2]) + ('norm', 'GroupNorm_0')
+        base = tuple(parts[:-2]) + ('GroupNorm_0',)
         if leaf == 'weight':
             return 'params', base + ('scale',), w
         if leaf == 'bias':

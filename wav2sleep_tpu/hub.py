@@ -3,7 +3,8 @@
 Same artifact contract as the reference (src/wav2sleep/hub.py:10-110):
 checkpoint repos hold ``config.yaml`` + ``state_dict.pth`` (+ README), URIs
 use the ``hf://`` scheme, and a model card is generated from the variant
-registry. Downloads are restricted to those three files.
+registry. Downloads are restricted to the checkpoint artifacts (plus the
+JAX-native ``params.npz`` alternative weight file).
 """
 
 from __future__ import annotations
@@ -36,8 +37,10 @@ def download_from_hub(
     revision: Optional[str] = None,
     cache_dir: Optional[str] = None,
 ) -> str:
-    """Download a checkpoint repo (config.yaml / state_dict.pth / README.md
-    only); returns the local snapshot folder."""
+    """Download a checkpoint repo (config + weights + README only); returns
+    the local snapshot folder. ``params.npz`` is the JAX-native weight
+    format ``save_checkpoint_folder`` writes on torch-less hosts — hf://
+    repos holding it must stay loadable."""
     from huggingface_hub import snapshot_download
 
     if repo_id.startswith('hf://'):
@@ -46,7 +49,7 @@ def download_from_hub(
         repo_id=repo_id,
         revision=revision,
         cache_dir=cache_dir,
-        allow_patterns=['config.yaml', 'state_dict.pth', 'README.md'],
+        allow_patterns=['config.yaml', 'state_dict.pth', 'params.npz', 'README.md'],
     )
 
 
@@ -65,7 +68,7 @@ def upload_to_hub(
     api.upload_folder(
         folder_path=local_folder,
         repo_id=repo_id,
-        allow_patterns=['config.yaml', 'state_dict.pth'],
+        allow_patterns=['config.yaml', 'state_dict.pth', 'params.npz'],
     )
     if variant_name:
         model_card = generate_model_card(variant_name)

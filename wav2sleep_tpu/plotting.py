@@ -37,6 +37,9 @@ def plot_confusion_matrix(
         shown = cmat / row_sums if normalize else cmat
     shown = np.nan_to_num(shown)
 
+    # Cell-center coordinates differ per backend: seaborn heatmaps center
+    # cell i at i + 0.5, imshow at i — the secondary precision/recall axes
+    # must use the same centers or every margin lands between cells.
     try:
         import seaborn as sns
 
@@ -50,10 +53,12 @@ def plot_confusion_matrix(
             yticklabels=categories,
             ax=ax,
         )
+        centers = np.arange(n) + 0.5
     except ImportError:
         ax.imshow(shown, cmap=heatmap_cmap)
         ax.set_xticks(range(n), categories)
         ax.set_yticks(range(n), categories)
+        centers = np.arange(n, dtype=float)
     ax.set_xlabel('Predicted')
     ax.set_ylabel('True')
 
@@ -66,10 +71,10 @@ def plot_confusion_matrix(
 
     # Per-class precision/recall margins.
     sec_x = ax.secondary_xaxis('top')
-    sec_x.set_xticks(np.arange(n) + 0.5, [f'{p:.2f}' if np.isfinite(p) else '-' for p in precision])
+    sec_x.set_xticks(centers, [f'{p:.2f}' if np.isfinite(p) else '-' for p in precision])
     sec_x.set_xlabel('Precision')
     sec_y = ax.secondary_yaxis('right')
-    sec_y.set_yticks(np.arange(n) + 0.5, [f'{r:.2f}' if np.isfinite(r) else '-' for r in recall])
+    sec_y.set_yticks(centers, [f'{r:.2f}' if np.isfinite(r) else '-' for r in recall])
     sec_y.set_ylabel('Recall')
     return ax
 
