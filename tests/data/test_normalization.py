@@ -150,3 +150,21 @@ def test_numpy_returns_float64():
     x = np.random.default_rng(0).normal(size=1000).astype(np.float32)
     out = causal_rolling_normalize(x, 34.0)
     assert out.dtype == np.float64
+
+
+def test_fused_f32_matches_generic_cast():
+    """The fused native f32 path (causal_rolling_normalize_f32, used by the
+    dataset hot path) must be bit-identical to the generic path + f32 cast
+    for f32 input — same double recurrence, single final rounding."""
+    from wav2sleep_tpu.ops.ema_norm import (
+        causal_rolling_normalize,
+        causal_rolling_normalize_f32,
+    )
+
+    rng = np.random.default_rng(21)
+    x = (rng.normal(size=40_000) + 0.3 * np.sin(np.arange(40_000) / 700.0)).astype(np.float32)
+    x[5000] += 50.0  # outlier clipping engages
+    fused = causal_rolling_normalize_f32(x, sampling_freq=34.13)
+    ref = np.asarray(causal_rolling_normalize(x, sampling_freq=34.13), dtype=np.float32)
+    assert fused.dtype == np.float32
+    np.testing.assert_array_equal(fused, ref)

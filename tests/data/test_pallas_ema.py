@@ -38,3 +38,16 @@ def test_non_multiple_shapes_padded():
     assert out.shape == (5, 1_111)
     want = causal_rolling_normalize(x[4], 34.0)
     np.testing.assert_allclose(out[4], want, atol=5e-3)
+
+
+def test_block_must_be_unroll_multiple():
+    """The kernel walks tiles in 32-step register chunks; a non-multiple
+    block would silently skip rows (uninitialized output + corrupted EMA
+    carry) — it must be rejected up front."""
+    import pytest
+
+    from wav2sleep_tpu.ops.pallas_ema import ema_normalize_pallas
+
+    x = np.zeros((2, 256), np.float32)
+    with pytest.raises(ValueError, match='multiple of 32'):
+        ema_normalize_pallas(x, sampling_freq=34.13, block=48)

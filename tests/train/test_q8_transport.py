@@ -144,3 +144,22 @@ def test_trainer_epoch_with_q8_transport(tmp_path):
     assert any(slot for slot in trainer._ring_pool)  # encode slots populated
     val = trainer.evaluate('val', 0)  # eval path stays lossless
     assert np.isfinite(val['val_loss'])
+
+
+def test_mixed_finite_row_rejected():
+    """A row mixing finite data with non-finite samples must raise in BOTH
+    encoders: a per-sample -inf sentinel cannot survive the 1-byte code
+    (it would decode as +/-peak — confident garbage instead of padding)."""
+    rng = np.random.default_rng(5)
+    x = _rows(rng, n=4096)
+    x[1000:] = -np.inf
+    with pytest.raises(ValueError, match='mixes finite'):
+        q8.encode_row_numpy(x)
+    from wav2sleep_tpu.native import get_lib
+
+    if get_lib() is not None:
+        with pytest.raises(ValueError, match='mixes finite'):
+            q8.encode_batch({'ECG': x[None]})
+    # Whole-row non-finite stays a valid missing channel.
+    codes, peak, present = q8.encode_row_numpy(np.full(4096, -np.inf, np.float32))
+    assert not present and peak == 0.0 and (codes == 0).all()

@@ -34,7 +34,7 @@ from ..settings import (
     LABEL,
     NORM_OUTLIER_THRESHOLD,
 )
-from ..ops.ema_norm import causal_rolling_normalize
+from ..ops.ema_norm import causal_rolling_normalize, causal_rolling_normalize_f32
 from ..utils import stop_aware_put
 
 logger = logging.getLogger(__name__)
@@ -81,6 +81,18 @@ def causal_normalize(signals: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
             out[k] = x
             continue
         sampling_freq = COLS_TO_SAMPLES_PER_EPOCH[k] / 30.0
+        if x.dtype == np.float32:
+            # Fused native path: writes f32 directly, no f64 temporaries
+            # (bit-identical to the generic path + f32 cast).
+            out[k] = causal_rolling_normalize_f32(
+                x,
+                sampling_freq=sampling_freq,
+                tau_seconds=CAUSAL_NORM_TAU_SECONDS,
+                outlier_threshold_sigma=NORM_OUTLIER_THRESHOLD,
+                baseline_tau_seconds=CAUSAL_NORM_BASELINE_TAU_SECONDS,
+                min_sigma=CAUSAL_NORM_MIN_SIGMA,
+            )
+            continue
         out[k] = np.asarray(
             causal_rolling_normalize(
                 x,

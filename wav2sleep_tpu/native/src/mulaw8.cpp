@@ -56,31 +56,36 @@ extern "C" {
 // Encode one row of n f32 samples to mu-law int8. Writes codes to `out`,
 // the row peak to `*peak_out`. Returns 1 when the row has finite samples,
 // 0 when the row is entirely non-finite (missing channel: codes zeroed,
-// peak 0).
+// peak 0), and -1 for a MIXED row (finite data plus non-finite samples):
+// a per-sample sentinel cannot survive the 1-byte transport — encoding it
+// as a full-scale code would turn padding into confident garbage — so the
+// caller must reject such rows loudly.
 int32_t w2s_mulaw8_encode_f32(const float* x, int64_t n, int8_t* out,
                               float* peak_out) {
   float peak = 0.0f;
-  bool any_finite = false;
+  int64_t n_finite = 0;
   for (int64_t i = 0; i < n; ++i) {
     const float v = x[i];
     if (std::isfinite(v)) {
-      any_finite = true;
+      ++n_finite;
       const float a = std::fabs(v);
       if (a > peak) peak = a;
     }
   }
-  if (!any_finite) {
+  if (n_finite == 0) {
     std::memset(out, 0, static_cast<size_t>(n));
     *peak_out = 0.0f;
     return 0;
+  }
+  if (n_finite < n) {
+    *peak_out = 0.0f;
+    return -1;
   }
   *peak_out = peak;
   if (peak == 0.0f) peak = 1.0f;  // all-zero row: every code is 0 anyway
   const float inv_peak = 255.0f / peak;
   for (int64_t i = 0; i < n; ++i) {
     const float v = x[i];
-    // Non-finite samples inside a present row cannot occur on the training
-    // path (inputs are z-scored finite f32); clamp defensively via fmin.
     float a = std::fabs(v) * inv_peak;        // in [0, 255]
     float t = 1.0f + (a < 255.0f ? a : 255.0f);
     uint32_t bits;

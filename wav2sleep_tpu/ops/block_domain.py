@@ -219,21 +219,8 @@ def apply_norm_act(xb: BlockedArray, mu_c, inv_c, act_fn) -> BlockedArray:
 
 def instance_norm_blocks(xb: BlockedArray, eps: float) -> BlockedArray:
     """Instance norm (stats over time per (batch, channel), no affine) on a
-    block-domain map — same two-pass formula as models/norms.py
-    InstanceNorm, with the per-channel reductions expressed as matmuls
-    against a feature->channel selector (no lane-splitting relayouts)."""
-    B, N, _ = xb.data.shape
-    r, C = xb.r, xb.channels
-    v = xb.data
-    sel = _channel_selector(C, v.dtype)  # [128, C]
-    n = N * r
-    mu_c = jnp.einsum('bnf,fc->bc', v, sel, preferred_element_type=jnp.float32) / n
-    mu_f = (mu_c @ sel.T.astype(jnp.float32)).astype(v.dtype)[:, None, :]  # [B, 1, 128]
-    centered = v - mu_f
-    var_c = (
-        jnp.einsum('bnf,fc->bc', jnp.square(centered), sel, preferred_element_type=jnp.float32)
-        / n
-    )
-    inv_c = 1.0 / jnp.sqrt(var_c + eps)
-    inv_f = (inv_c @ sel.T.astype(jnp.float32)).astype(v.dtype)[:, None, :]
-    return xb.replace(data=centered * inv_f)
+    block-domain map — composed from ``block_stats`` + ``apply_norm_act``
+    so the fused and unfused paths share ONE statistics formula by
+    construction (they must not drift on high-mean/low-variance maps)."""
+    mu_c, inv_c = block_stats(xb, eps)
+    return apply_norm_act(xb, mu_c, inv_c, lambda t: t)

@@ -168,6 +168,56 @@ def causal_rolling_normalize(
     return normalized
 
 
+def causal_rolling_normalize_f32(
+    signal: np.ndarray,
+    sampling_freq: float,
+    tau_seconds: float = 900.0,
+    eps: float = 1e-6,
+    outlier_threshold_sigma: float = NORM_OUTLIER_THRESHOLD,
+    baseline_tau_seconds: float | None = None,
+    min_sigma: float = CAUSAL_NORM_MIN_SIGMA,
+) -> np.ndarray:
+    """Fused float32 variant for the data-loading hot path.
+
+    Routes through ``w2s_ema_normalize_f32`` (native/src/ema_norm.cpp),
+    which writes the normalized f32 output directly — no mu/sigma_sq/
+    outlier float64 temporaries (three O(n) fresh allocations that hit the
+    sandboxed-host ~12 MB/s page-fault tax). The recurrence runs in double
+    per sample, so for f32 input the result is bit-identical to
+    ``causal_rolling_normalize(...).astype(np.float32)`` (pinned by
+    tests/data/test_normalization.py). Falls back to that exact expression
+    when the native library is unavailable.
+    """
+    from .. import native
+
+    signal_np = np.ascontiguousarray(signal, np.float32)
+    if signal_np.ndim != 1:
+        raise ValueError(f'Expected 1-D signal, got shape {signal_np.shape}')
+    lib = native.get_lib()
+    if lib is None or len(signal_np) == 0:
+        return np.asarray(
+            causal_rolling_normalize(
+                signal_np, sampling_freq, tau_seconds, eps,
+                outlier_threshold_sigma, False, baseline_tau_seconds,
+                min_sigma, backend='numpy',
+            ),
+            dtype=np.float32,
+        )
+    baseline_tau = baseline_tau_seconds if baseline_tau_seconds is not None else tau_seconds
+    min_sigma_sq = min_sigma * min_sigma
+    alpha_b, alpha_v, mu_init, sigma_sq_init = _warmup_stats(
+        signal_np, sampling_freq, baseline_tau, tau_seconds, min_sigma_sq
+    )
+    n = len(signal_np)
+    out = np.empty(n, np.float32)
+    outlier = np.empty(n, np.uint8)
+    lib.w2s_ema_normalize_f32(
+        signal_np, n, alpha_b, alpha_v, mu_init, sigma_sq_init,
+        outlier_threshold_sigma, min_sigma_sq, eps, out, outlier,
+    )
+    return out
+
+
 # ---------------------------------------------------------------------------
 # JAX (on-device) version — jittable, vmappable over channels/nights.
 # ---------------------------------------------------------------------------

@@ -96,6 +96,11 @@ def ema_normalize_pallas(
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    if block % 32 != 0 or block <= 0:
+        # The kernel walks each tile in UNROLL=32-step register chunks; a
+        # non-multiple block would silently skip the remainder rows
+        # (uninitialized VMEM output AND a corrupted EMA carry).
+        raise ValueError(f'{block=} must be a positive multiple of 32.')
     if not interpret and jax.default_backend() == 'cpu':
         interpret = True  # CPU has no Mosaic; fall back to the interpreter.
     if x_NT.ndim == 1:

@@ -15,7 +15,11 @@ Contract (shared with native/src/mulaw8.cpp):
     x_hat = sign(code) * peak * (256^(|code|/127) - 1) / 255
 A fully non-finite row (the -inf missing-modality sentinel,
 src/wav2sleep/data/dataset.py:170-173 in the reference) ships as
-(codes=0, peak=0, present=False) and decodes back to -inf.
+(codes=0, peak=0, present=False) and decodes back to -inf. A MIXED row
+(finite data plus non-finite samples) raises: the per-sample sentinel
+cannot survive a 1-byte code, and the parquet training path never
+produces one (short-night padding is 0.0 post-normalization; -inf only
+appears as whole missing-modality rows).
 
 Encoded batches are pytrees ``{signal: (codes[B,T] i8, peak[B] f32,
 present[B] bool)}`` — every leaf is batch-leading, so the data-parallel
@@ -56,9 +60,21 @@ def encode_row_numpy(x: np.ndarray, out: np.ndarray | None = None):
     if not finite.any():
         out[:] = 0
         return out, np.float32(0.0), False
-    peak = float(np.abs(x[finite]).max())
-    scale = 255.0 / (peak if peak > 0 else 1.0)
-    a = np.abs(x) * np.float32(scale)
+    if not finite.all():
+        # A per-sample -inf sentinel cannot survive the 1-byte transport
+        # (it would encode as a full-scale code and decode as +/-peak,
+        # turning padding into confident garbage). Rows must be fully
+        # finite or fully non-finite; reject mixed rows loudly.
+        raise ValueError(
+            'q8 transport row mixes finite data with non-finite samples; '
+            'the -inf sentinel is only supported for whole rows.'
+        )
+    # Single f32 divide, matching the C++ kernel (255.0f / peak): a
+    # double-precision divide rounded to f32 can differ by one ULP and
+    # flip threshold-adjacent codes between backends.
+    peak = np.float32(np.abs(x).max())
+    scale = np.float32(255.0) / (peak if peak > 0 else np.float32(1.0))
+    a = np.abs(x) * scale
     t = (1.0 + np.minimum(a, np.float32(255.0))).astype(np.float32)
     k = np.searchsorted(_thresholds_f32(), t, side='right').astype(np.int8)
     np.negative(k, out=out, where=np.signbit(x))
@@ -109,6 +125,12 @@ def encode_batch(
                 ok = lib.w2s_mulaw8_encode_f32(
                     arr[b], arr.shape[1], codes[b], ctypes.byref(pk)
                 )
+                if ok < 0:
+                    raise ValueError(
+                        'q8 transport row mixes finite data with non-finite '
+                        'samples; the -inf sentinel is only supported for '
+                        'whole rows.'
+                    )
                 peaks[b] = pk.value
                 present[b] = bool(ok)
         else:

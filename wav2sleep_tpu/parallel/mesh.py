@@ -28,21 +28,34 @@ def maybe_initialize_distributed() -> bool:
     auto-discovers coordinates from the TPU environment. No-ops on
     single-host/CI setups. Returns True if running multi-process.
     """
+    import logging
     import os
 
-    if jax.process_count() > 1:
-        return True
     pod_env = any(
         os.environ.get(k) for k in ('TPU_WORKER_HOSTNAMES', 'JAX_COORDINATOR_ADDRESS', 'MEGASCALE_COORDINATOR_ADDRESS')
     )
-    if not pod_env:
-        return False
-    try:
-        jax.distributed.initialize()
-    except Exception as e:  # Already initialized / single-host tunnel.
-        import logging
-
-        logging.getLogger(__name__).info(f'jax.distributed.initialize skipped: {e}')
+    # The initialize attempt MUST come before any backend probe:
+    # jax.process_count() initializes the local-only XLA backend, after
+    # which jax.distributed.initialize() can never succeed — probing first
+    # would permanently (and silently) demote every env-var-triggered
+    # multi-host run to unsynced single-host training.
+    if pod_env:
+        try:
+            jax.distributed.initialize()
+        except Exception as e:  # Already initialized / backend already up.
+            if jax.process_count() == 1:
+                # The environment asked for multi-host but we ended up
+                # single-process: surface it loudly — training would run
+                # with no gradient sync and duplicated data.
+                logging.getLogger(__name__).warning(
+                    'Multi-host env vars are set but jax.distributed.'
+                    f'initialize() failed ({e}) and only one process is '
+                    'visible; continuing SINGLE-host. Call '
+                    'maybe_initialize_distributed() before any other JAX '
+                    'use if multi-host was intended.'
+                )
+            else:
+                logging.getLogger(__name__).info(f'jax.distributed already initialized: {e}')
     return jax.process_count() > 1
 
 
