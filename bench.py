@@ -58,6 +58,19 @@ def generate_edfs(
     return fps
 
 
+def _warm_extractor_pipeline(pipe, fps, work, batch: int) -> None:
+    """Steady-state warm-up (untimed), shared by the extractor-based
+    pipelines (raw/q16/q8): page-warm every pooled buffer slot and the OS
+    page cache for each distinct file, then run one real batch — this VM
+    faults fresh mappings at ~12 MB/s, a cold-start cost, not pipeline
+    throughput."""
+    for raw, meta in pipe._bufs:
+        for i, fp in enumerate(fps[:batch]):
+            pipe.extractor.extract_into(fp, raw, meta, i % batch)
+    for _ in pipe.run(work[:batch]):
+        pass
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument('--nights', type=int, default=32)
@@ -196,12 +209,7 @@ def main():
         t0 = time.time()
         pipe.warmup()  # compile (not timed)
         compile_s = time.time() - t0
-        # Page-warm pooled buffers + OS page cache (untimed, see below).
-        for raw, meta in pipe._bufs:
-            for i, fp in enumerate(fps[: args.batch]):
-                pipe.extractor.extract_into(fp, raw, meta, i % args.batch)
-        for _ in pipe.run(work[: args.batch]):
-            pass
+        _warm_extractor_pipeline(pipe, fps, work, args.batch)
     elif args.pipeline == 'raw':
         pipe = StreamingPipelineRaw(
             model,
@@ -214,15 +222,7 @@ def main():
         t0 = time.time()
         pipe.warmup(fps[0])  # compile (not timed)
         compile_s = time.time() - t0
-        # Steady-state warm-up (untimed): page-warm every pooled buffer slot
-        # and the OS page cache for each distinct file, and run one real
-        # forward — this VM faults fresh mappings at ~12 MB/s, which is a
-        # cold-start cost, not pipeline throughput.
-        for raw, meta in pipe._bufs:
-            for i, fp in enumerate(fps[: args.batch]):
-                pipe.extractor.extract_into(fp, raw, meta, i % args.batch)
-        for _ in pipe.run(work[: args.batch]):
-            pass
+        _warm_extractor_pipeline(pipe, fps, work, args.batch)
     else:
         pipe = StreamingPipeline(
             model,

@@ -227,3 +227,46 @@ def test_plateau_min_lr_floors_effective_lr():
     assert s1 == pytest.approx(0.1)
     assert s2 == pytest.approx(1e-2)  # 1e-3 * 1e-2 == min_lr
     assert s3 == pytest.approx(1e-2)
+
+
+def test_weight_ema_folds_once_per_optimizer_step_under_accumulation():
+    """With optax.MultiSteps(k) the EMA must fold once per APPLIED
+    optimizer step, not per micro-step: per-micro-step folding on unchanged
+    params compounds the decay to ema_decay^k (an EMA horizon k times
+    shorter than configured). ema_start_step counts optimizer steps."""
+    import optax
+
+    from wav2sleep_tpu import models as jm
+    from wav2sleep_tpu.train.step import init_train_state, make_optimizer, make_train_step
+
+    model = jm.Wav2Sleep(
+        signal_encoders=jm.SignalEncoders(
+            signal_map=jm.as_signal_map({'ECG': 'ECG'}), feature_dim=8, activation='gelu',
+            norm='instance', chunk_causal=False, initial_channels=2, max_channels=4,
+        ),
+        epoch_mixer=jm.MultiModalAttentionEmbedder(feature_dim=8, layers=1, dim_ff=16, nhead=2, dropout=0.0),
+        sequence_mixer=jm.SequenceCNN(feature_dim=8, num_layers=1, kernel_size=3, num_dilations=1, norm='layer', dropout=0.0),
+        num_classes=4,
+    )
+    rng = np.random.default_rng(1)
+    x = {'ECG': rng.normal(size=(2, 1024 * 2)).astype(np.float32)}
+    y = rng.integers(0, 4, size=(2, 2)).astype(np.float32)
+    k = 2
+    tx = make_optimizer(optax.constant_schedule(1e-2), weight_decay=0.0, grad_clip=1.0,
+                        accumulate_steps=k)
+    state = init_train_state(model, tx, x, jax.random.PRNGKey(0), ema=True)
+    step = jax.jit(make_train_step(model, tx, num_classes=4, masker=None, flip_polarity=False,
+                                   ema_decay=0.5, ema_start_step=0))
+
+    def leaf(tree):
+        return np.asarray(jax.tree_util.tree_leaves(tree)[0]).copy()
+
+    ema0 = leaf(state.ema_params)
+    # Micro-step 1 of 2: optimizer did NOT apply -> EMA untouched.
+    state, _ = step(state, (x, y), jax.random.PRNGKey(1))
+    np.testing.assert_array_equal(leaf(state.ema_params), ema0)
+    np.testing.assert_array_equal(leaf(state.params), ema0)  # params unchanged too
+    # Micro-step 2 of 2: applied -> exactly ONE fold toward the new params.
+    state, _ = step(state, (x, y), jax.random.PRNGKey(2))
+    expected = 0.5 * ema0 + 0.5 * leaf(state.params)
+    np.testing.assert_allclose(leaf(state.ema_params), expected, rtol=1e-5, atol=1e-7)

@@ -138,7 +138,21 @@ class ParquetDataset:
 
     def __getitem__(self, idx: int) -> NightItem:
         fp = self.files[idx]
-        df = try_read_parquet(fp)
+        # Read only the requested columns (+LABEL): ingested parquet can
+        # hold the full 6-signal set incl. the 4096-samples/epoch EOG pair,
+        # several times the bytes an ECG-only run needs per night. The
+        # schema probe reads footer metadata only; absent columns still go
+        # through the -inf padding below.
+        from .utils import get_parquet_cols
+
+        try:
+            avail = set(get_parquet_cols(fp))
+            want = [c for c in self.columns if c in avail]
+            if LABEL in avail:
+                want.append(LABEL)
+        except Exception:  # noqa: BLE001 - schema probe flake: full read retries
+            want = []
+        df = try_read_parquet(fp, columns=want or None)
         signal_dict: Dict[str, np.ndarray] = {}
         cols_to_pad: list[str] = []
         recording_epochs: int | None = None
@@ -198,7 +212,11 @@ def pad_or_truncate_item(item: NightItem, target_epochs: int) -> NightItem:
         if x.shape[0] >= target:
             out_signals[col] = x[:target]
         else:
-            pad_value = -np.inf if np.isinf(x[:1]).any() else 0.0
+            # Missing modalities (all--inf) keep the -inf sentinel; so does
+            # a ZERO-length channel (a 0-epoch night) — it has no real
+            # samples, so every padded epoch is beyond the night, and 0.0
+            # would present an absent channel as real zero-valued signal.
+            pad_value = -np.inf if (x.size == 0 or np.isinf(x[:1]).any()) else 0.0
             out = np.full((target,), pad_value, dtype=x.dtype)
             out[: x.shape[0]] = x
             out_signals[col] = out

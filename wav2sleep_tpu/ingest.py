@@ -72,7 +72,11 @@ def process_night(
     overwrite: bool = False,
 ) -> bool:
     """One night: EDF (+ annotations) -> parquet. Returns True if written."""
-    if os.path.exists(output_fp) and not overwrite:
+    quarantine_fp = output_fp.replace('.parquet', '.issues.parquet')
+    if not overwrite and (os.path.exists(output_fp) or os.path.exists(quarantine_fp)):
+        # A previously QUARANTINED night is also done work — re-parsing it
+        # on every rerun would redo the full EDF+label ingest just to
+        # rewrite the same .issues file.
         logger.debug(f'Skipping {edf_fp=}, {output_fp=}, already exists')
         return False
     os.makedirs(os.path.dirname(output_fp), exist_ok=True)
@@ -98,7 +102,7 @@ def process_night(
         stage_counts = labels.value_counts()
         if all(stage_counts.get(s) is None for s in (1.0, 3.0, 4.0)):
             logger.error(f'No N1, N3 or REM in {label_fp}.')
-            output_fp = output_fp.replace('.parquet', '.issues.parquet')
+            output_fp = quarantine_fp
     else:
         labels = None
 
@@ -106,7 +110,9 @@ def process_night(
     invalid_voltage = check_voltage_signal_units(signal_metadata)
     if invalid_voltage:
         logger.warning(f'{edf_fp}: Invalid units for voltage signals: {invalid_voltage}')
-        output_fp = output_fp.replace('.parquet', '.issues.parquet')
+        # Idempotent: a night failing BOTH QC checks must not become
+        # '.issues.issues.parquet'.
+        output_fp = quarantine_fp
     edf, signal_metadata, _dropped = check_and_drop_flat_signals(edf, signal_metadata)
 
     waveform_df = process_waveform_dataframe(edf, columns=columns)
@@ -196,7 +202,11 @@ def process_files(
     from .parallel.map import parallelise, shard_across_hosts
 
     columns = columns or EDF_COLS
-    work = list(fp_dict.values())
+    # Deterministic order BEFORE sharding: fp_dict is glob-populated and
+    # os.scandir order is not guaranteed identical across hosts, so an
+    # unsorted round-robin could assign one night to two hosts (concurrent
+    # writes to the same parquet) and another to none.
+    work = [fp_dict[k] for k in sorted(fp_dict)]
     if shard_hosts:
         work = shard_across_hosts(work)
     logger.info(f'Preparing to process {len(work)} files.')

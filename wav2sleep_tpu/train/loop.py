@@ -32,7 +32,7 @@ import numpy as np
 from ..settings import CCSHS, CFS, CHAT, ECG, MESA, PPG, SHHS, THX, TRAIN, VAL
 from ..stats import cohens_kappa, confusion_accuracy
 from .datamodule import SleepDataModule
-from .masker import SignalMasker
+from .masker import SignalMasker, validate_batch
 from .scheduler import PlateauController, exp_warmup_schedule
 from .step import (
     TrainState,
@@ -356,6 +356,12 @@ class Trainer:
         returned device batch is recorded against its ring slot so
         ``_ring_slot`` can guard reuse (page-warm pooled buffers: fresh
         large allocations fault at ~12 MB/s on sandboxed hosts)."""
+        if self.masker is not None:
+            # Eager-mode mirror of the reference masker's degenerate-night
+            # error (all signals missing): under jit the masker can only
+            # fall back silently, and the failure would otherwise surface
+            # as NaN logits far from the cause. Probes one sample per row.
+            validate_batch(x)
         x, y, _ = self._pad_batch(
             x, y, self._batch_target(y.shape[0], getattr(self.datamodule, 'batch_size', None))
         )
@@ -455,7 +461,16 @@ class Trainer:
         param refs start a non-blocking D2H copy and queue for
         ``_drain_host_ema`` — the per-step EMA recurrence is applied there
         in order, bit-identical to the eager update."""
-        if step_before < self.ema_start_step:
+        k = max(1, self.accumulate_grad_batches)
+        # Mirror the in-graph EMA's accumulation gating (train/step.py):
+        # fold only on micro-steps where MultiSteps applied the optimizer
+        # (params are unchanged on the other k-1, and folding there would
+        # compound the decay to ema_decay^k), and count ema_start_step in
+        # OPTIMIZER steps. step_before and opt_state restore together, so
+        # the modulo stays aligned across resume.
+        if (step_before + 1) % k != 0:
+            return
+        if step_before // k < self.ema_start_step:
             return
         # The train step DONATES the state, so holding self.state.params refs
         # across the next dispatch would leave deleted arrays in the queue —

@@ -187,10 +187,29 @@ def make_train_step(
         new_params = optax.apply_updates(state.params, updates)
         new_ema = state.ema_params
         if state.ema_params is not None and ema_decay is not None:
-            decay = jnp.where(state.step >= ema_start_step, ema_decay, 1.0)
-            new_ema = jax.tree_util.tree_map(
-                lambda e, p: decay * e + (1.0 - decay) * p, state.ema_params, new_params
-            )
+            # Under gradient accumulation (optax.MultiSteps) the EMA must
+            # fold ONLY on micro-steps where the optimizer actually applied:
+            # folding every micro-step on unchanged params compounds the
+            # decay to ema_decay^k (an EMA horizon k times shorter than
+            # configured). ema_start_step likewise counts OPTIMIZER steps
+            # (the reference EMACallback's global_step), not micro-steps.
+            if hasattr(new_opt_state, 'mini_step'):  # MultiSteps state
+                applied = new_opt_state.mini_step == 0
+                steps_done = new_opt_state.gradient_step - applied.astype(jnp.int32)
+            else:
+                applied = None
+                steps_done = state.step
+            decay = jnp.where(steps_done >= ema_start_step, ema_decay, 1.0)
+            if applied is None:
+                new_ema = jax.tree_util.tree_map(
+                    lambda e, p: decay * e + (1.0 - decay) * p, state.ema_params, new_params
+                )
+            else:
+                new_ema = jax.tree_util.tree_map(
+                    lambda e, p: jnp.where(applied, decay * e + (1.0 - decay) * p, e),
+                    state.ema_params,
+                    new_params,
+                )
         new_state = state.replace(
             step=state.step + 1,
             params=new_params,
@@ -235,6 +254,7 @@ def parallelize_train_step(train_step, mesh, state, example_batch):
     batch. XLA inserts the gradient psum over ICI. Shardings are passed as
     pytree PREFIXES, so one jitted step serves every input-transport
     encoding (f32 / bf16 / q8 code+peak tuples) without restructuring."""
+    del state, example_batch  # prefix shardings cover any tree
     rep = NamedSharding(mesh, P())
     dsh = NamedSharding(mesh, P(DATA_AXIS))
     return jax.jit(
