@@ -217,6 +217,11 @@ def main() -> None:
                 f'({__import__("time").time() - t0:.0f}s)',
                 file=sys.stderr,
             )
+    if best['vars'] is None:
+        raise SystemExit(
+            f'--train-steps {args.train_steps} trained no model '
+            '(need >= 1 step to select evaluation weights).'
+        )
     variables = best['vars']
     train_acc_logits = np.asarray(
         fwd_f32(variables, {c: jnp.asarray(train_f32[c]) for c in signals})
@@ -236,8 +241,18 @@ def main() -> None:
         'train_acc': round(train_acc, 4),
         'f32_eval_acc': round(f32_acc, 4),
     }
-    for name, fwd in (('float32', fwd_q8_f32), ('bfloat16', fwd_q8_bf16)):
-        test = np.asarray(fwd(variables, *q8_args()))
+    # bf16 configs must evaluate bf16 WEIGHTS, not just bf16 activations:
+    # f32 params promote every matmul back to f32, and the reported delta
+    # would exclude exactly the bf16 matmul noise it exists to bound
+    # (bench.py's bf16 pipelines cast variables the same way).
+    variables_bf16 = jax.tree_util.tree_map(
+        lambda a: jnp.asarray(a, jnp.bfloat16), variables
+    )
+    for name, fwd, fwd_vars in (
+        ('float32', fwd_q8_f32, variables),
+        ('bfloat16', fwd_q8_bf16, variables_bf16),
+    ):
+        test = np.asarray(fwd(fwd_vars, *q8_args()))
         q8_acc = float((test.argmax(-1) == eval_y).mean())
         print(
             json.dumps(
@@ -257,7 +272,8 @@ def main() -> None:
         lambda sh: jnp.asarray(rng.normal(size=sh.shape, scale=0.05), jnp.float32), var_shapes
     )
     ref_r = np.asarray(fwd_f32(rand_vars, {c: jnp.asarray(eval_f32[c]) for c in signals}))
-    test_r = np.asarray(fwd_q8_bf16(rand_vars, *q8_args()))
+    rand_vars_bf16 = jax.tree_util.tree_map(lambda a: jnp.asarray(a, jnp.bfloat16), rand_vars)
+    test_r = np.asarray(fwd_q8_bf16(rand_vars_bf16, *q8_args()))
     bias = ref_r.mean(axis=(0, 1), keepdims=True)
     print(
         json.dumps(

@@ -89,7 +89,10 @@ def main(argv=None) -> None:
     from wav2sleep_tpu.data.edf import get_edf_start
     from wav2sleep_tpu.settings import PRED, TIMESTAMP
 
-    model = api.load_model(args.model_folder)
+    # precision must reach load_model: the streaming forwards cast only
+    # ACTIVATIONS — f32 weights would promote every matmul back to f32 and
+    # the benched bf16 fast path would silently never engage.
+    model = api.load_model(args.model_folder, precision=args.precision)
     if model.family == 'ppgnet':
         raise SystemExit(
             'The streaming transports drive the multi-modal wav2sleep family; '

@@ -51,9 +51,11 @@ def main() -> None:
         help='training input transport: lossless ships signals at compute '
         'precision; q8 ships mu-law int8 codes decoded on device',
     )
-    parser.add_argument('--k', type=int, default=5, help='chained steps for the marginal timing')
+    parser.add_argument('--k', type=int, default=5, help='chained steps for the marginal timing (>= 2)')
     parser.add_argument('--reps', type=int, default=3, help='timing repetitions; median reported')
     args = parser.parse_args()
+    if args.k < 2:
+        parser.error('--k must be >= 2 (marginal timing divides by k - 1)')
 
     import jax
     import jax.numpy as jnp
@@ -107,7 +109,10 @@ def main() -> None:
 
     flops = None
     try:
-        lowered = jax.jit(train_step).lower(state, (dev_x, dev_y), rng)
+        # Reuse the ALREADY-COMPILED jit wrapper: a fresh jax.jit(train_step)
+        # has an empty in-memory cache and can pay a second multi-minute TPU
+        # compile when the persistent cache misses.
+        lowered = step.lower(state, (dev_x, dev_y), rng)
         cost = lowered.compile().cost_analysis()
         if cost:
             flops = float((cost[0] if isinstance(cost, (list, tuple)) else cost).get('flops', 0.0)) or None

@@ -42,7 +42,7 @@ class NightDecoder:
 
         self.signals = list(signals)
         self.max_length_hours = max_length_hours
-        self._raw_pool: dict[int, np.ndarray] = {}
+        self._raw_scratch = np.empty(0, np.float32)
         self._lib = native.get_lib() if use_native else None
         self._grids = {
             col: np.ascontiguousarray(signal_target_grid(col, max_length_hours), dtype=np.float64)
@@ -50,11 +50,13 @@ class NightDecoder:
         }
 
     def _raw_buffer(self, n: int) -> np.ndarray:
-        buf = self._raw_pool.get(n)
-        if buf is None:
-            buf = np.empty(n, dtype=np.float32)
-            self._raw_pool[n] = buf
-        return buf
+        # One growing scratch buffer, sliced per request (data/synth.py
+        # _scratch pattern): a per-exact-length pool would retain one
+        # ~18 MB buffer per distinct (duration x rate) over a long sweep
+        # of varying night lengths — unbounded host growth.
+        if self._raw_scratch.size < n:
+            self._raw_scratch = np.empty(n, dtype=np.float32)
+        return self._raw_scratch[:n]
 
     def decode_into(self, fp: str, out: dict[str, np.ndarray]) -> int:
         """Decode + resample each signal of one night into caller-owned

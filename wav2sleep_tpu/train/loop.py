@@ -30,7 +30,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..settings import CCSHS, CFS, CHAT, ECG, MESA, PPG, SHHS, THX, TRAIN, VAL
-from ..stats import cohens_kappa, confusion_accuracy
 from .datamodule import SleepDataModule
 from .masker import SignalMasker, validate_batch
 from .scheduler import PlateauController, exp_warmup_schedule
@@ -111,21 +110,13 @@ class MetricsLogger:
 
     def log_confusion(self, cmat: np.ndarray, epoch: int, prefix: str) -> dict[str, float]:
         """Log kappa/acc (+ optional PNG) for one confusion matrix; returns
-        the metrics dict (reference log.py:28-47)."""
-        acc = confusion_accuracy(cmat)
-        kappa = cohens_kappa(cmat, n_classes=len(cmat))
-        metrics = {f'{prefix}_acc': acc, f'{prefix}_kappa': kappa}
-        self.log(metrics, step=epoch)
-        if self.plot_confusion:
-            try:
-                from ..plotting import save_confusion_png
+        the metrics dict (reference log.py:28-47). Delegates to the single
+        implementation in wav2sleep_tpu/log.py (jsonl + PNG + MLflow)."""
+        from ..log import log_aux_metrics
 
-                out = os.path.join(self.log_dir, f'{prefix}_conf_mats')
-                os.makedirs(out, exist_ok=True)
-                save_confusion_png(cmat, os.path.join(out, f'{epoch:04d}.png'), num_classes=len(cmat))
-            except Exception as e:  # plotting is best-effort observability
-                logger.debug(f'confusion plot failed: {e}')
-        return metrics
+        return log_aux_metrics(
+            cmat, epoch, prefix, artifact_dir=self.log_dir, plot=self.plot_confusion
+        ) or {}
 
 
 @dataclass
