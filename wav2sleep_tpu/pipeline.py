@@ -441,7 +441,7 @@ class StreamingPipelineRaw:
         self.signals = list(signals)
         self.batch_size = batch_size
         self.max_length_hours = max_length_hours
-        self.variables = variables
+        self.variables = _commit_variables(variables)
         grids = {col: signal_target_grid(col, max_length_hours) for col in self.signals}
         self._n_grid = {col: len(g) for col, g in grids.items()}
         self._step = {col: 30.0 / COLS_TO_SAMPLES_PER_EPOCH[col] for col in self.signals}
@@ -592,6 +592,16 @@ class Q16NightExtractor:
             return n_epochs
 
 
+def _commit_variables(variables):
+    """Transfer the weight tree to device ONCE at pipeline construction:
+    passing a host-numpy tree (api.load_model output) to the jitted
+    forward would re-upload every parameter on every batch. No-op for
+    already-committed device arrays (bench.py passes those)."""
+    import jax
+
+    return jax.device_put(variables)
+
+
 def _resample_digital_f64(dig: np.ndarray, ratio: float, m: int) -> tuple[np.ndarray, int]:
     """Pure-numpy mirror of the native kernels' double-precision lerp, so
     fallback transport codes are bit-identical to the C++ path."""
@@ -676,7 +686,9 @@ class StreamingPipelineQ16:
         self.signals = list(signals)
         self.batch_size = batch_size
         self.max_length_hours = max_length_hours
-        self.variables = variables
+        # Committed below: once per construction (replicated over the mesh
+        # when one is given) — never per batch.
+        self.variables = variables if mesh is not None else _commit_variables(variables)
         self._mesh = mesh
         self._row_sharding = self._vec_sharding = None
         if mesh is not None:
@@ -919,7 +931,7 @@ class StreamingPipeline:
         self.batch_size = batch_size
         self.max_length_hours = max_length_hours
         self.forward = make_streaming_forward(model, precision=precision, normalize=normalize)
-        self.variables = variables
+        self.variables = _commit_variables(variables)
         self.decoder = NightDecoder(self.signals, max_length_hours)
         n_grid = {col: len(signal_target_grid(col, max_length_hours)) for col in self.signals}
         # Double-buffered page-warm host batch buffers.
