@@ -580,3 +580,29 @@ def test_destination_space_ignores_stale_content(tmp_path):
     assert _staged_bytes(str(src), str(dst)) == 4_000
     (dst / 'mesa' / 'a.parquet').write_bytes(b'x' * 99_000)
     assert _staged_bytes(str(src), str(dst)) == 10_000
+
+
+def test_ema_offload_matches_in_graph_under_accumulation(corpus, tmp_path):
+    """The accumulation gating must agree between the two EMA paths: both
+    fold once per APPLIED optimizer step (not per micro-step), so the
+    offloaded and in-graph EMAs stay equal with accumulate_grad_batches>1."""
+    import jax
+
+    kw = dict(
+        epochs=1, ema_decay=0.9, ema_start_step=0, masker=None,
+        flip_polarity=False, accumulate_grad_batches=2,
+    )
+    t_graph = make_trainer(corpus, tmp_path / 'acc_graph', **kw)
+    t_graph.fit()
+    t_off = make_trainer(corpus, tmp_path / 'acc_off', ema_offload=True, **kw)
+    t_off.fit()
+    graph_ema = jax.device_get(t_graph.state.ema_params)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(a, b, atol=1e-6, rtol=1e-5),
+        graph_ema,
+        t_off._host_ema,
+    )
+    # And the EMA differs from the raw params only if a fold happened after
+    # an applied step — with 2 applied steps and decay 0.9 it must differ.
+    leaf = lambda tr: np.asarray(jax.tree_util.tree_leaves(tr)[0])
+    assert not np.allclose(leaf(graph_ema), leaf(jax.device_get(t_graph.state.params)))
