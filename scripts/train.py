@@ -64,14 +64,17 @@ def main(argv: list[str] | None = None) -> dict:
     from wav2sleep_tpu.utils import fix_seeds
 
     cfg = compose(os.path.join(REPO_ROOT, 'scripts', 'config'), 'main', argv)
+
+    from wav2sleep_tpu.parallel.mesh import maybe_initialize_distributed
+
+    # MUST precede any JAX computation (fix_seeds creates a PRNGKey, which
+    # initializes the local-only backend and would make a multi-host
+    # initialize permanently fail — see parallel/mesh.py).
+    maybe_initialize_distributed()
     fix_seeds(cfg['seed'])
     warn_if_dirty_git(debug=bool(cfg.get('debug', {}).get('max_nights')))
 
     import jax
-
-    from wav2sleep_tpu.parallel.mesh import maybe_initialize_distributed
-
-    maybe_initialize_distributed()
 
     from wav2sleep_tpu.checkpoint import reference_compatible_config
     from wav2sleep_tpu.instantiate import instantiate, model_family

@@ -132,6 +132,10 @@ class ParquetDataset:
             1_000_000 if max_length_hours is None else int(round(max_length_hours * 60 * 2))
         )
         self.causal = causal
+        # Column subsets to read, probed lazily per file (the schema of an
+        # ingested parquet is static; re-reading the footer every epoch
+        # would add an I/O round-trip per item on the 1-core host).
+        self._want_cols: Dict[str, list] = {}
 
     def __len__(self) -> int:
         return len(self.files)
@@ -145,13 +149,16 @@ class ParquetDataset:
         # through the -inf padding below.
         from .utils import get_parquet_cols
 
-        try:
-            avail = set(get_parquet_cols(fp))
-            want = [c for c in self.columns if c in avail]
-            if LABEL in avail:
-                want.append(LABEL)
-        except Exception:  # noqa: BLE001 - schema probe flake: full read retries
-            want = []
+        want = self._want_cols.get(fp)
+        if want is None:
+            try:
+                avail = set(get_parquet_cols(fp))
+                want = [c for c in self.columns if c in avail]
+                if LABEL in avail:
+                    want.append(LABEL)
+            except Exception:  # noqa: BLE001 - schema probe flake: full read retries
+                want = []
+            self._want_cols[fp] = want
         df = try_read_parquet(fp, columns=want or None)
         signal_dict: Dict[str, np.ndarray] = {}
         cols_to_pad: list[str] = []

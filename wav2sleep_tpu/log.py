@@ -48,19 +48,30 @@ def log_aux_metrics(
 
     out = artifact_dir or DEFAULT_ARTIFACT_DIR
     os.makedirs(out, exist_ok=True)
+    mlflow = _mlflow()
+    png_path = None
     if plot:
         try:
             from .plotting import save_confusion_png
 
             png_dir = os.path.join(out, f'{prefix}_conf_mats')
             os.makedirs(png_dir, exist_ok=True)
-            save_confusion_png(cmat, os.path.join(png_dir, f'{epoch:04d}.png'), num_classes=len(cmat))
+            png_path = os.path.join(png_dir, f'{epoch:04d}.png')
+            save_confusion_png(cmat, png_path, num_classes=len(cmat))
         except Exception as e:  # plotting is best-effort observability
             logger.debug(f'confusion figure failed: {e}')
+            png_path = None
     with open(os.path.join(out, 'metrics.jsonl'), 'a') as f:
         f.write(json.dumps({'step': epoch, 'time': time.time(), **metrics}) + '\n')
 
-    mlflow = _mlflow()
     if mlflow is not None:
         mlflow.log_metrics(metrics, step=epoch)
+        if png_path is not None:
+            try:
+                # Figures must reach the tracking server too: the local
+                # TPU-VM artifact dir is ephemeral (reference log.py logs
+                # confusion figures as MLflow run artifacts).
+                mlflow.log_artifact(png_path, artifact_path=f'{prefix}_conf_mats')
+            except Exception as e:
+                logger.debug(f'mlflow figure upload failed: {e}')
     return metrics

@@ -686,9 +686,10 @@ class StreamingPipelineQ16:
         self.signals = list(signals)
         self.batch_size = batch_size
         self.max_length_hours = max_length_hours
-        # Committed below: once per construction (replicated over the mesh
-        # when one is given) — never per batch.
-        self.variables = variables if mesh is not None else _commit_variables(variables)
+        # Committed ONCE per construction — never per batch. The mesh case
+        # replicates explicitly below.
+        if mesh is None:
+            self.variables = _commit_variables(variables)
         self._mesh = mesh
         self._row_sharding = self._vec_sharding = None
         if mesh is not None:
