@@ -219,3 +219,37 @@ def test_random_bytes_raise_cleanly(tmp_path):
     junk.write_bytes(rng.integers(0, 256, size=4096, dtype=np.uint8).tobytes())
     with pytest.raises(ValueError):
         read_edf_header(str(junk))
+
+
+def test_zero_record_duration_raises_cleanly(edf_file):
+    """record_duration '0' (annotation-only EDF+ or corrupt export) must be
+    a clean ValueError, not a ZeroDivisionError in sampling_freq()."""
+    fp, *_ = edf_file
+    _corrupt(fp, 244, b'0       ')
+    with pytest.raises(ValueError, match='record duration'):
+        read_edf_header(fp)
+
+
+def test_duplicate_labels_first_wins_consistently(edf_file):
+    """Duplicate channel labels: unit-based decisions (BROKEN skip) must
+    judge the FIRST matching channel — the one EdfFile.channel()/reads
+    return — not the last duplicate's unit."""
+    from wav2sleep_tpu.data.edf import units_map_first
+
+    fp, *_ = edf_file
+    h0 = read_edf_header(fp)
+    ns = len(h0.channels)
+    # Rename channel 2 ('ABDO RES') to 'EKG' -> duplicate of channel 1,
+    # and mark the FIRST EKG's unit BROKEN.
+    _corrupt(fp, 256 + 16 * 1, b'EKG' + b' ' * 13)
+    _corrupt(fp, 256 + 96 * ns + 8 * 0, b'BROKEN  ')
+    h = read_edf_header(fp)
+    assert [c.label for c in h.channels][:2] == ['EKG', 'EKG']
+    um = units_map_first(h)
+    assert um['EKG'] == 'BROKEN'  # first occurrence, matching channel()
+    from wav2sleep_tpu.data.edf import get_column_match
+
+    # The broken first channel must make the ECG match fail (consistent
+    # with what a read would return), not pass on the duplicate's unit.
+    assert get_column_match('ECG', [c.label for c in h.channels],
+                            units_map=um, raise_error=False) is None

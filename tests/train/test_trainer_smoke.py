@@ -606,3 +606,79 @@ def test_ema_offload_matches_in_graph_under_accumulation(corpus, tmp_path):
     # an applied step — with 2 applied steps and decay 0.9 it must differ.
     leaf = lambda tr: np.asarray(jax.tree_util.tree_leaves(tr)[0])
     assert not np.allclose(leaf(graph_ema), leaf(jax.device_get(t_graph.state.params)))
+
+
+def test_shard_train_files_disjoint_equal_rotating():
+    """Multi-host train sharding: disjoint equal-size shards from an
+    identical global shuffle, rotating remainder nights across epochs."""
+    from wav2sleep_tpu.train.datamodule import shard_train_files
+
+    fps = [f'n{i}.parquet' for i in range(10)]
+    shards = [shard_train_files(fps, seed=7, n_hosts=4, host=r) for r in range(4)]
+    assert all(len(s) == 2 for s in shards)  # 10 -> truncate to 8, 2 each
+    flat = [fp for s in shards for fp in s]
+    assert len(set(flat)) == len(flat) == 8  # disjoint
+    # Deterministic per (seed, host); different seed (epoch) reshuffles.
+    assert shards[0] == shard_train_files(fps, seed=7, n_hosts=4, host=0)
+    assert shards[0] != shard_train_files(fps, seed=8, n_hosts=4, host=0)
+    import pytest
+
+    with pytest.raises(ValueError, match='sharded over'):
+        shard_train_files(fps[:3], seed=0, n_hosts=4, host=0)
+
+
+def test_checkpoint_meta_holds_post_update_early_stopping(corpus, tmp_path, monkeypatch):
+    """The checkpoint sidecar must serialize the early-stopping state AFTER
+    this epoch's update: a stale pre-update best would let a later worse
+    epoch overwrite the true best checkpoint on resume."""
+    import json
+
+    t = make_trainer(corpus, tmp_path / 'esorder', epochs=2, masker=None, flip_polarity=False)
+    vals = iter([1.0, 0.5])
+    monkeypatch.setattr(t, 'evaluate', lambda mode='val', epoch=None: {'val_loss': next(vals)})
+    t.fit()
+    meta = json.load(open(tmp_path / 'esorder' / 'checkpoints' / 'last.meta.json'))
+    # After epoch 1 (val 0.5), the serialized best must be 0.5, not the
+    # stale pre-update 1.0.
+    assert meta['early_stopping']['best'] == 0.5
+
+
+def test_restore_reconciles_in_graph_ema_toggle(corpus, tmp_path, caplog):
+    """Toggling in-graph EMA between save and resume must reconcile (seed
+    from params / drop with a warning), not crash with an opaque orbax
+    structure error — symmetric with the host_ema reconciliation."""
+    import logging
+
+    import jax
+
+    t = make_trainer(corpus, tmp_path / 'ema_on', epochs=1, ema_decay=0.9,
+                     ema_start_step=0, masker=None, flip_polarity=False)
+    t.fit()
+    assert t.state.ema_params is not None
+    # Resume WITHOUT EMA: weights restore, EMA dropped with a warning.
+    t_off = make_trainer(corpus, tmp_path / 'ema_on', epochs=1, ema_decay=None,
+                         masker=None, flip_polarity=False)
+    with caplog.at_level(logging.WARNING):
+        t_off.restore('last')
+    assert t_off.state.ema_params is None
+    assert any('EMA weights were ignored' in r.message for r in caplog.records)
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree_util.tree_leaves(t_off.state.params)[0]),
+        np.asarray(jax.tree_util.tree_leaves(t.state.params)[0]),
+    )
+    # And the reverse: a no-EMA checkpoint resumed into an EMA run seeds
+    # the EMA from the restored params.
+    t2 = make_trainer(corpus, tmp_path / 'ema_none', epochs=1, ema_decay=None,
+                      masker=None, flip_polarity=False)
+    t2.fit()
+    t_on = make_trainer(corpus, tmp_path / 'ema_none', epochs=1, ema_decay=0.9,
+                        ema_start_step=0, masker=None, flip_polarity=False)
+    caplog.clear()
+    with caplog.at_level(logging.WARNING):
+        t_on.restore('last')
+    assert t_on.state.ema_params is not None
+    assert any('initialized the EMA' in r.message for r in caplog.records)
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree_util.tree_leaves(t_on.state.ema_params)[0]),
+        np.asarray(jax.tree_util.tree_leaves(t_on.state.params)[0]),
+    )

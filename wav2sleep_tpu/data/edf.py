@@ -167,6 +167,14 @@ def read_edf_header(filepath: str) -> EdfHeader:
             record_duration = float(_ascii(h[244:252]) or 1.0)
         except ValueError:
             record_duration = 1.0
+        if record_duration <= 0:
+            # '0' is legal only for annotation-only EDF+ files, which hold
+            # no signal data we could read; negative is corrupt. A clean
+            # error keeps the per-file quarantine behavior instead of a
+            # ZeroDivisionError deep in sampling_freq().
+            raise ValueError(
+                f'{filepath}: non-positive record duration {record_duration}'
+            )
         try:
             ns = int(_ascii(h[252:256]))
         except ValueError:
@@ -327,8 +335,13 @@ class EdfFile:
             np.multiply(dig, dtype(c.bitvalue), out=buf, casting='unsafe')
             buf += dtype(c.physical_min) - dtype(c.bitvalue) * dtype(c.digital_min)
             return buf
+        # Same fused association as the pooled path above (dig*bv + const):
+        # (dig - dmin)*bv + pmin rounds differently in f32, and streaming/
+        # ingestion parity must not be data-dependent.
         digf = dig.astype(dtype)
-        return (digf - dtype(c.digital_min)) * dtype(c.bitvalue) + dtype(c.physical_min)
+        digf *= dtype(c.bitvalue)
+        digf += dtype(c.physical_min) - dtype(c.bitvalue) * dtype(c.digital_min)
+        return digf
 
     def sampling_freq(self, label: str) -> float:
         c = self.channel(label)
@@ -419,6 +432,20 @@ def _warn_signal_issues(
             )
 
 
+def units_map_first(header) -> dict[str, str]:
+    """label -> unit with FIRST occurrence winning on duplicate labels.
+
+    ``EdfFile.channel()``/reads return the first matching channel, so any
+    unit-based decision (the BROKEN-unit skip especially) must judge the
+    same channel that would actually be read — a last-wins dict could pass
+    a broken first channel on the strength of a later duplicate's unit.
+    """
+    out: dict[str, str] = {}
+    for c in header.channels:
+        out.setdefault(c.label, c.unit)
+    return out
+
+
 def load_edf_arrays(
     filepath: str,
     columns: list[str] | str,
@@ -441,7 +468,7 @@ def load_edf_arrays(
     arrays: dict[str, tuple[np.ndarray, float]] = {}
     with EdfFile(filepath) as f:
         labels = f.labels()
-        units_map = {c.label: c.unit for c in f.header.channels}
+        units_map = units_map_first(f.header)
         for sig_name in columns:
             actual = get_column_match(sig_name, labels, units_map=units_map, raise_error=raise_on_missing)
             if actual is None:

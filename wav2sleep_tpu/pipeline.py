@@ -20,7 +20,7 @@ from typing import Callable, Iterable, Iterator
 
 import numpy as np
 
-from .data.edf import EdfFile, channel_norm_affine, get_column_match
+from .data.edf import EdfFile, channel_norm_affine, get_column_match, units_map_first
 from .data.preprocessing import resample_uniform
 from .settings import COLS_TO_SAMPLES_PER_EPOCH
 from .utils import stop_aware_put
@@ -69,7 +69,7 @@ class NightDecoder:
         with EdfFile(fp) as f:
             n_epochs = int(f.header.duration_seconds // 30)
             labels = f.labels()
-            units_map = {c.label: c.unit for c in f.header.channels}
+            units_map = units_map_first(f.header)
             for col in self.signals:
                 actual = get_column_match(col, labels, units_map=units_map, raise_error=False)
                 if actual is None:
@@ -319,7 +319,7 @@ class RawNightExtractor:
         with EdfFile(fp) as f:
             n_epochs = int(f.header.duration_seconds // 30)
             labels = f.labels()
-            units_map = {c.label: c.unit for c in f.header.channels}
+            units_map = units_map_first(f.header)
             for col in self.signals:
                 m = meta[col]
                 actual = get_column_match(col, labels, units_map=units_map, raise_error=False)
@@ -548,7 +548,7 @@ class Q16NightExtractor:
         with EdfFile(fp) as f:
             n_epochs = int(f.header.duration_seconds // 30)
             labels = f.labels()
-            units_map = {c.label: c.unit for c in f.header.channels}
+            units_map = units_map_first(f.header)
             for col in self.signals:
                 m = meta[col]
                 dst = out_i16[col][row]
@@ -814,7 +814,7 @@ class Q8NightExtractor:
         with EdfFile(fp) as f:
             n_epochs = int(f.header.duration_seconds // 30)
             labels = f.labels()
-            units_map = {c.label: c.unit for c in f.header.channels}
+            units_map = units_map_first(f.header)
             for col in self.signals:
                 m = meta[col]
                 dst = out_i8[col][row]

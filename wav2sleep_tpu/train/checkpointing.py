@@ -75,6 +75,50 @@ class CheckpointManager:
             logger.debug(f'checkpoint metadata unavailable for {path}: {e}')
             return None
 
+    def _restore_reconciling_state_ema(self, path: str, template: dict):
+        """Restore, reconciling an in-graph ``state.ema_params`` config
+        change (EMA toggled between save and resume) — the symmetric case
+        of the host_ema reconciliation below. ema_params lives INSIDE the
+        state pytree, where orbax item metadata cannot be inspected
+        reliably, so this is exception-driven: on a structure mismatch the
+        template is retried with ema_params flipped, and if that also
+        fails the ORIGINAL error is raised."""
+        try:
+            return self._ckptr.restore(path, template)
+        except Exception as first_err:
+            st = template.get('state')
+            if st is None or not hasattr(st, 'ema_params'):
+                raise
+            if st.ema_params is None:
+                tmpl = dict(template)
+                tmpl['state'] = st.replace(
+                    ema_params=jax.tree_util.tree_map(np.array, st.params)
+                )
+                try:
+                    out = self._ckptr.restore(path, tmpl)
+                except Exception:
+                    raise first_err
+                logger.warning(
+                    'Checkpoint carries an in-graph EMA but EMA is disabled '
+                    'for this run; the EMA weights were ignored.'
+                )
+                out['state'] = out['state'].replace(ema_params=None)
+                return out
+            tmpl = dict(template)
+            tmpl['state'] = st.replace(ema_params=None)
+            try:
+                out = self._ckptr.restore(path, tmpl)
+            except Exception:
+                raise first_err
+            logger.warning(
+                'Checkpoint has no in-graph EMA entry (saved without EMA); '
+                'initialized the EMA from the restored parameters.'
+            )
+            out['state'] = out['state'].replace(
+                ema_params=jax.tree_util.tree_map(np.array, out['state'].params)
+            )
+            return out
+
     def restore(self, trainer, which: str = 'last') -> int:
         """Restore into ``trainer``; returns the epoch to resume from."""
         # ``which`` may be a bare name ('last'/'best') under self.root, or a
@@ -112,7 +156,7 @@ class CheckpointManager:
             # No host_ema entry in the checkpoint (it predates ema_offload):
             # restore without it and seed the host EMA from the restored
             # parameters.
-            out = self._ckptr.restore(
+            out = self._restore_reconciling_state_ema(
                 path, {k: v for k, v in template.items() if k != 'host_ema'}
             )
             out['host_ema'] = jax.tree_util.tree_map(
@@ -132,7 +176,7 @@ class CheckpointManager:
             tmpl['host_ema'] = jax.tree_util.tree_map(
                 lambda v: np.array(v), template['state'].params
             )
-            out = self._ckptr.restore(path, tmpl)
+            out = self._restore_reconciling_state_ema(path, tmpl)
             logger.warning(
                 'Checkpoint carries an offloaded EMA but ema_offload is '
                 'disabled; the EMA weights were ignored.'
@@ -147,7 +191,7 @@ class CheckpointManager:
             # (seeding or dropping host_ema) — and if the retry fails too,
             # surface the ORIGINAL error, which describes the real problem.
             try:
-                restored = self._ckptr.restore(path, template)
+                restored = self._restore_reconciling_state_ema(path, template)
             except Exception as first_err:
                 retry = (
                     _restore_seeding_ema
@@ -163,7 +207,7 @@ class CheckpointManager:
         elif 'host_ema' not in template and 'host_ema' in saved_keys:
             restored = _restore_dropping_ema()
         else:
-            restored = self._ckptr.restore(path, template)
+            restored = self._restore_reconciling_state_ema(path, template)
         trainer.state = restored['state']
         trainer.rng = restored['rng']
         if 'host_ema' in restored:

@@ -35,6 +35,28 @@ def _exclude_issues(fps: list[str]) -> list[str]:
     return [fp for fp in fps if not fp.endswith('.issues.parquet')]
 
 
+def shard_train_files(fps: list[str], seed: int, n_hosts: int, host: int) -> list[str]:
+    """Deterministic per-host shard of the train file list for one epoch.
+
+    All hosts shuffle the GLOBAL list with the same seed, truncate to a
+    multiple of ``n_hosts`` (so every host yields the SAME number of
+    batches — unequal counts would deadlock the collectives in the jitted
+    step), and take a disjoint stride. The seed varies per epoch, so
+    remainder nights rotate back in on later epochs. Without this, every
+    host of a pod would feed the identical batch into
+    ``global_batch_from_local`` and (n_hosts-1)/n_hosts of the global
+    compute would process duplicate rows."""
+    import numpy as np
+
+    order = np.random.default_rng(seed).permutation(len(fps))
+    n = (len(order) // n_hosts) * n_hosts
+    if n == 0:
+        raise ValueError(
+            f'{len(fps)} train nights cannot be sharded over {n_hosts} hosts.'
+        )
+    return [fps[i] for i in order[host:n:n_hosts]]
+
+
 def get_parquet_fps_for_dataset(
     data_location: str,
     dataset: str,
@@ -141,7 +163,29 @@ class SleepDataModule:
 
     def train_loader(self, epoch: int = 0):
         """Shuffled train iterator; shuffle seeded by ``seed + epoch``
-        (reference datamodule.py:226-229)."""
+        (reference datamodule.py:226-229). On multi-process (TPU pod) runs
+        each host loads a disjoint per-epoch shard — the contract
+        ``global_batch_from_local`` assumes (parallel/mesh.py). Eval
+        loaders stay unsharded: with replicated inputs the global eval
+        batch duplicates every night n_hosts times, which leaves the
+        count-ratio metrics (acc/kappa) and the weighted loss unchanged."""
+        try:
+            import jax
+
+            n_hosts, host = jax.process_count(), jax.process_index()
+        except Exception:
+            n_hosts, host = 1, 0
+        if n_hosts > 1:
+            fps = shard_train_files(self._train_fps, self.seed + epoch, n_hosts, host)
+            # Already globally shuffled inside the shard helper.
+            return batch_iterator(
+                self._make_dataset(fps),
+                batch_size=self.batch_size,
+                shuffle=False,
+                drop_last=self.drop_last,
+                num_threads=self.num_workers,
+                pad_to_epochs=self.pad_to_epochs,
+            )
         ds = self._make_dataset(self._train_fps)
         return batch_iterator(
             ds,

@@ -102,6 +102,13 @@ class MetricsLogger:
             pass
 
     def log(self, metrics: dict[str, float], step: int) -> None:
+        from ..utils import is_rank_zero
+
+        # Rank-zero only, like log_confusion: on a pod with a shared
+        # log_dir every process would otherwise append duplicate jsonl
+        # lines and post conflicting MLflow points for the same step.
+        if not is_rank_zero():
+            return
         record = {'step': step, 'time': time.time(), **metrics}
         with open(self.fp, 'a') as f:
             f.write(json.dumps(record) + '\n')
@@ -486,9 +493,25 @@ class Trainer:
     def _fold_host_ema(self, params) -> None:
         d = self.ema_decay
         host = jax.device_get(params)
-        self._host_ema = jax.tree_util.tree_map(
-            lambda e, p: d * e + (1.0 - d) * p, self._host_ema, host
-        )
+
+        def fold(e, p):
+            # In place into the owned EMA buffers: a tree_map allocating
+            # 2-3 fresh arrays per leaf per optimizer step pays the
+            # sandboxed host's ~12 MB/s first-touch page-fault tax.
+            # device_get/seeded leaves can be READ-ONLY numpy views — copy
+            # once on first touch; the owned buffer is reused thereafter.
+            if not e.flags.writeable:
+                e = np.array(e)
+            np.multiply(e, d, out=e)
+            p = np.asarray(p)
+            if p.flags.writeable:
+                np.multiply(p, 1.0 - d, out=p)
+                e += p
+            else:
+                e += (1.0 - d) * p
+            return e
+
+        self._host_ema = jax.tree_util.tree_map(fold, self._host_ema, host)
 
     def _drain_host_ema(self) -> None:
         for params in self._ema_pending:
@@ -546,12 +569,22 @@ class Trainer:
             ]
             staged = stage(next(host_it, None))
             for key, out in outs:
-                losses[key].append(float(out['loss']))
-                cmats[key] += np.asarray(out['cmat'], np.int64)
-        return {
-            k: ((float(np.mean(losses[k])) if losses[k] else float('nan')), cmats[k])
-            for k in keys
-        }
+                cmat = np.asarray(out['cmat'], np.int64)
+                # Weight each batch's mean loss by its scored-epoch count
+                # (the cmat total): an unweighted mean of batch means lets
+                # a 1-night final partial batch count as much as a full
+                # batch, biasing val_loss — and early stopping / best-
+                # checkpoint selection with it. The reference's Lightning
+                # on_epoch reduction is sample-weighted the same way.
+                losses[key].append((float(out['loss']), int(cmat.sum())))
+                cmats[key] += cmat
+        def wmean(pairs):
+            total = sum(n for _, n in pairs)
+            if not pairs or total == 0:
+                return float('nan')
+            return float(sum(l * n for l, n in pairs) / total)
+
+        return {k: (wmean(losses[k]), cmats[k]) for k in keys}
 
     def _subset_matrix(self, ds_name: str, mode: str) -> list[tuple[str, ...]]:
         """Signal subsets to evaluate per dataset (reference
@@ -644,7 +677,17 @@ class Trainer:
             if self.plateau is not None and np.isfinite(val_loss):
                 scale = self.plateau.update(val_loss)
                 self.state = _set_lr_scale(self.state, scale)
+            # Update early stopping BEFORE checkpointing: the checkpoint
+            # sidecar serializes the early-stop state, and saving the
+            # pre-update best/wait means a resumed run restores a stale
+            # best — a later worse epoch would then pass `is_best` and
+            # OVERWRITE the true best checkpoint (and patience counting
+            # would lose one epoch per resume). is_best is judged against
+            # the best BEFORE this epoch folds in.
             is_best = val_loss <= self.early_stopping.best
+            should_stop = (
+                has_val and np.isfinite(val_loss) and self.early_stopping.update(val_loss)
+            )
             ckpt.save(self, epoch, val_loss, is_best=is_best)
             if not has_val:
                 continue
@@ -655,7 +698,7 @@ class Trainer:
                     f'Stopping at epoch {epoch}: non-finite val_loss ({val_loss}).'
                 )
                 break
-            if self.early_stopping.update(val_loss):
+            if should_stop:
                 logger.info(f'Early stopping at epoch {epoch} (best val_loss {self.early_stopping.best:.4f}).')
                 break
         return last_val
