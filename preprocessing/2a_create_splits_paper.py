@@ -44,12 +44,19 @@ def main() -> None:
             if session_id in splits[split]:
                 o_fp = os.path.join(output_folder, split, os.path.basename(fp))
                 os.makedirs(os.path.dirname(o_fp), exist_ok=True)
-                if not os.path.exists(o_fp):
+                # lexists: a DANGLING symlink (ingest moved since the last
+                # run) reads as absent via exists() and the re-link would
+                # raise FileExistsError; replace it instead.
+                if os.path.lexists(o_fp) and not os.path.exists(o_fp):
+                    os.unlink(o_fp)
+                if not os.path.lexists(o_fp):
                     if args.copy:
                         shutil.copy2(fp, o_fp)
                     else:
                         os.symlink(os.path.abspath(fp), o_fp)
-                counts[split] += 1
+                    # Count CREATIONS, not membership: reruns over an
+                    # already-split tree must report 0, not the full split.
+                    counts[split] += 1
                 break
         else:
             logger.debug(f'Session {session_id} not found in train/val/test sets.')

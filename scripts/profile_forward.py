@@ -32,9 +32,11 @@ def main() -> None:
     parser.add_argument('--epochs-per-night', type=int, default=1200)
     parser.add_argument('--feature-dim', type=int, default=128)
     parser.add_argument('--precision', default='bfloat16', choices=['float32', 'bfloat16'])
-    parser.add_argument('--k', type=int, default=5)
+    parser.add_argument('--k', type=int, default=5, help='chained steps for the marginal timing (>= 2)')
     parser.add_argument('--reps', type=int, default=3)
     args = parser.parse_args()
+    if args.k < 2:
+        parser.error('--k must be >= 2 (marginal timing divides by k - 1)')
 
     import jax
     import jax.numpy as jnp
@@ -92,12 +94,12 @@ def main() -> None:
     # Stage 1 all: the full encoder bank.
     fn_enc = jax.jit(lambda v, xx: model.apply(v, xx, method=enc_method))
     results['encoders_all_ms'] = round(timeit(fn_enc, variables, x) * 1000, 2)
-    z = jax.device_put(jax.device_get(fn_enc(variables, x)))
+    z = jax.block_until_ready(fn_enc(variables, x))
 
     # Stage 2: epoch mixer on the encoder output.
     fn_mix = jax.jit(lambda v, zz: model.apply(v, zz, method=mix_method))
     results['epoch_mixer_ms'] = round(timeit(fn_mix, variables, z) * 1000, 2)
-    e = jax.device_put(jax.device_get(fn_mix(variables, z)))
+    e = jax.block_until_ready(fn_mix(variables, z))
 
     # Stage 3: sequence mixer.
     fn_seq = jax.jit(lambda v, ee: model.apply(v, ee, method=seq_method))

@@ -59,13 +59,20 @@ def resample_signal(
     return out.astype(np.float32)
 
 
-_RESAMPLE_PLAN_CACHE: dict = {}
+from collections import OrderedDict
+
+_RESAMPLE_PLAN_CACHE: OrderedDict = OrderedDict()
+# The key includes the per-recording sample count n, which differs for
+# nearly every night in a variable-length corpus — an unbounded cache
+# would grow by ~26 MB of plan arrays (ECG/PPG at 10 h) per distinct
+# length until the host OOMs. A small LRU keeps the fixed-rate training
+# corpora fully amortized while bounding a variable-length sweep to a few
+# plans (this path only runs when the native decode kernel is absent).
+_RESAMPLE_PLAN_MAX = 8
 
 
 def _resample_plan(fs: float, n: int, col: str, max_length_hours: float):
-    """Cached gather indices + lerp weights for a (rate, length) pair —
-    real corpora have a handful of distinct rates, so plans amortize to
-    zero and avoid fresh large allocations per night."""
+    """Cached gather indices + lerp weights for a (rate, length) pair."""
     key = (round(fs, 9), n, col, max_length_hours)
     plan = _RESAMPLE_PLAN_CACHE.get(key)
     if plan is None:
@@ -78,6 +85,10 @@ def _resample_plan(fs: float, n: int, col: str, max_length_hours: float):
         idx1 = np.clip(idx + 1, 0, n - 1)
         plan = (idx0, idx1, frac, invalid if invalid.any() else None)
         _RESAMPLE_PLAN_CACHE[key] = plan
+        if len(_RESAMPLE_PLAN_CACHE) > _RESAMPLE_PLAN_MAX:
+            _RESAMPLE_PLAN_CACHE.popitem(last=False)
+    else:
+        _RESAMPLE_PLAN_CACHE.move_to_end(key)
     return plan
 
 

@@ -56,7 +56,7 @@ def convert_index(hour_minute_index, start_ts: datetime.datetime) -> pd.Datetime
     return pd.DatetimeIndex(day_strings + (' ' + hour_minute_index))
 
 
-def _has_deep_sleep_stages(series: pd.Series, fp: str) -> bool:
+def _has_deep_sleep_stages(series: pd.Series) -> bool:
     """True if any of N1/N3/REM are present; sleep-wake-only scoring fails."""
     counts = series.value_counts(dropna=False)
     return any(counts.get(s) is not None for s in (1.0, 3.0, 4.0))
@@ -113,7 +113,7 @@ def parse_all_score(fp: str, convert_time: bool = False) -> pd.Series | None:
     if df.index[-1] > MAX_RECORDING_LENGTH:
         logger.warning(f'Recording greater than {MAX_RECORDING_LENGTH=} for {fp=}')
         return None
-    if not _has_deep_sleep_stages(df, fp):
+    if not _has_deep_sleep_stages(df):
         raise ValueError(f'Only Wake/N2 scoring found in {fp} - rejecting sleep/wake-only recording.')
     if convert_time:
         df.index = edf_start + pd.TimedeltaIndex(df.index, unit='s')
@@ -183,7 +183,7 @@ def parse_stg_file(fp: str, convert_time: bool = False) -> pd.Series | None:
     # the right bin edge.
     series.index = series.index * 30.0
     series = series.map(convert_int_stage)
-    if not _has_deep_sleep_stages(series, fp):
+    if not _has_deep_sleep_stages(series):
         raise ValueError(f'Only Wake/N2 scoring found in {fp} - rejecting sleep/wake-only recording.')
     if convert_time:
         series.index = edf_start + pd.TimedeltaIndex(series.index, unit='s')
