@@ -18,10 +18,13 @@ import numpy as np
 import jax
 
 jax.config.update('jax_platforms', 'cpu')
+# Generous handshake timeout: on this 1-core host a concurrent compile or
+# test process can delay the second worker past the 300 s default.
 jax.distributed.initialize(
     coordinator_address=os.environ['W2S_COORD'],
     num_processes=2,
     process_id=int(sys.argv[1]),
+    initialization_timeout=600,
 )
 import jax.numpy as jnp
 
@@ -90,7 +93,7 @@ def test_two_process_distributed_train_step(tmp_path):
     ]
     outs = []
     for p in procs:
-        out, _ = p.communicate(timeout=600)
+        out, _ = p.communicate(timeout=900)
         outs.append(out)
         assert p.returncode == 0, out[-3000:]
     results = {}
