@@ -253,3 +253,37 @@ def test_duplicate_labels_first_wins_consistently(edf_file):
     # with what a read would return), not pass on the duplicate's unit.
     assert get_column_match('ECG', [c.label for c in h.channels],
                             units_map=um, raise_error=False) is None
+
+
+def test_header_mutation_fuzz(edf_file):
+    """Byte-mutation fuzz over the header area: every mutated file must
+    either parse to a structurally sane header or raise ValueError — never
+    an unguarded ZeroDivisionError/OverflowError/mmap crash. (The per-file
+    tolerance in ingest/streaming catches ValueError by design.)"""
+    fp, *_ = edf_file
+    import shutil
+
+    rng = np.random.default_rng(123)
+    original = open(fp, 'rb').read()
+    header_span = 256 + 216 * 3  # fixed header + 3 signal headers
+    for trial in range(200):
+        data = bytearray(original)
+        for _ in range(rng.integers(1, 6)):
+            off = int(rng.integers(0, header_span))
+            data[off] = int(rng.integers(0, 256))
+        mut = fp + '.fuzz'
+        with open(mut, 'wb') as f:
+            f.write(data)
+        try:
+            h = read_edf_header(mut)
+            assert h.record_duration > 0
+            assert all(c.samples_per_record >= 0 for c in h.channels)
+            # A parse that succeeds must also support the downstream reads.
+            from wav2sleep_tpu.data.edf import EdfFile
+
+            with EdfFile(mut) as f2:
+                for c in h.channels:
+                    if c.samples_per_record > 0:
+                        f2.sampling_freq(c.label)
+        except ValueError:
+            pass  # clean rejection is the contract
