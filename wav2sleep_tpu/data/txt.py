@@ -35,6 +35,15 @@ MAX_RECORDING_LENGTH = 60 * 60 * 14  # 14 hours
 _STG_COL = 'User-Defined Stage'
 
 
+def _swap_suffix(fp: str, old: str, new: str) -> str:
+    """Suffix-anchored sibling-file pairing. A bare ``fp.replace(old, new)``
+    also rewrites directory names that happen to contain the token (e.g.
+    ``/data/stg_files/x.stg.txt``), breaking the log/EDF lookup."""
+    if not fp.endswith(old):
+        raise ValueError(f'{fp=} does not end with {old!r}')
+    return fp[: -len(old)] + new
+
+
 def convert_index(hour_minute_index, start_ts: datetime.datetime) -> pd.DatetimeIndex:
     """Convert an 'hh:mm:ss.f' string index into datetimes around start_ts.
 
@@ -87,7 +96,7 @@ def parse_all_score(fp: str, convert_time: bool = False) -> pd.Series | None:
         return None
     start_stamp = df.index[df == 'START RECORDING'][0]
     hour, minute, second = int(start_stamp[:2]), int(start_stamp[3:5]), int(start_stamp[6:8])
-    edf_fp = fp.replace('allscore.txt', 'edf')
+    edf_fp = _swap_suffix(fp, 'allscore.txt', 'edf')
     edf_start = get_edf_start(edf_fp)
     if (edf_start.hour, edf_start.minute, edf_start.second) != (hour, minute, second):
         logger.warning(f'{edf_start=} did not match allscore file start: {start_stamp} for {fp=}. Skipping...')
@@ -160,14 +169,14 @@ def parse_stg_file(fp: str, convert_time: bool = False) -> pd.Series | None:
     else:  # Some files lack the header row.
         series = pd.read_csv(fp, index_col=0, delimiter='\t', names=[_STG_COL, 'X'])[_STG_COL]
     series = series.rename(LABEL)
-    log_fp = fp.replace('stg', 'log')
+    log_fp = _swap_suffix(fp, 'stg.txt', 'log.txt')
     if not os.path.exists(log_fp):
         raise FileNotFoundError(f"Couldn't find corresponding log file for {fp=}")
     start_time, _epoch = get_start_from_log(log_fp)
     if start_time is None:
         return None
     hour, minute, second = map(int, start_time.split(':'))
-    edf_fp = fp.replace('stg.txt', 'edf')
+    edf_fp = _swap_suffix(fp, 'stg.txt', 'edf')
     edf_start, edf_end = get_edf_start(edf_fp), get_edf_end(edf_fp)
     if (edf_start.hour, edf_start.minute, edf_start.second) != (hour, minute, second):
         logger.warning(f'{edf_start=} did not match log file start: {start_time} for {fp=}. Skipping...')
