@@ -179,9 +179,12 @@ def _conv_stats_kernel(x_ref, xprev_ref, xnext_ref, wa_ref, wb_ref, wc_ref,
     merge of per-tile centered moments — numerically equivalent to the
     two-pass centered variance block_stats computes, without the two extra
     full-map HBM reads it costs: ~0.42 ms each at the block-0 shape). The
-    ``mu_ref``/``m2_ref`` output blocks index only on b, so they stay VMEM-
-    resident across a sequence's tiles; the last tile turns the M2
-    accumulator into ``inv = 1/sqrt(var + eps)`` in place."""
+    ``mu_ref``/``m2_ref`` outputs are whole-[B, C] blocks with a constant
+    index map (Mosaic's tiling rule rejects a (1, C) block over a [B, C]
+    array when B isn't the block's sublane count), so they stay VMEM-
+    resident across the ENTIRE grid; each batch program read-modify-writes
+    its own row, and the last tile turns the M2 accumulator into
+    ``inv = 1/sqrt(var + eps)`` in place."""
     import jax.experimental.pallas as pl
 
     _conv_kernel(x_ref, xprev_ref, xnext_ref, wa_ref, wb_ref, wc_ref, b_ref,
@@ -201,24 +204,26 @@ def _conv_stats_kernel(x_ref, xprev_ref, xnext_ref, wa_ref, wb_ref, wc_ref,
     sq = jnp.square(y_st - m_feat)
     s2_t = jnp.dot(jnp.sum(sq, axis=0, keepdims=True), sel_ref[:],
                    preferred_element_type=f32)  # [1, C] tile M2
+    row = (pl.ds(pl.program_id(0), 1), slice(None))  # this program's [1, C]
 
     @pl.when(t == 0)
     def _init():
-        mu_ref[0] = m_t[0]
-        m2_ref[0] = s2_t[0]
+        mu_ref[row] = m_t
+        m2_ref[row] = s2_t
 
     @pl.when(t != 0)
     def _merge():
         n_run = t.astype(f32) * n_t
         n_new = n_run + n_t
-        delta = m_t[0] - mu_ref[0]
-        mu_ref[0] = mu_ref[0] + delta * (n_t / n_new)
-        m2_ref[0] = m2_ref[0] + s2_t[0] + jnp.square(delta) * (n_run * n_t / n_new)
+        mu_cur = mu_ref[row]
+        delta = m_t - mu_cur
+        mu_ref[row] = mu_cur + delta * (n_t / n_new)
+        m2_ref[row] = m2_ref[row] + s2_t + jnp.square(delta) * (n_run * n_t / n_new)
 
     @pl.when(t == nT - 1)
     def _finalize():
-        var = m2_ref[0] / (nT * n_t)
-        m2_ref[0] = 1.0 / jnp.sqrt(var + eps)
+        var = m2_ref[row] / (nT * n_t)
+        m2_ref[row] = 1.0 / jnp.sqrt(var + eps)
 
 
 def _sd_core(xb, WA, WB, WC, bias_tiled, use_next: bool,
@@ -406,8 +411,12 @@ def _sd_core_stats_local(xb, WA, WB, WC, bias_tiled, shift, scale, sel, selT,
         ],
         out_specs=[
             pl.BlockSpec((1, TB, D_out), lambda b, t: (b, t, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Cch), lambda b, t: (b, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Cch), lambda b, t: (b, 0), memory_space=pltpu.VMEM),
+            # Whole-array stats blocks (constant index map): a (1, C) block
+            # over [B, C] violates Mosaic's sublane tiling when B != 1; the
+            # full block instead stays VMEM-resident across the grid and
+            # each batch program updates only its own row.
+            pl.BlockSpec((B, Cch), lambda b, t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, Cch), lambda b, t: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((B, nT * TB, D_out), xb.dtype),
