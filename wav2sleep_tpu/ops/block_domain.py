@@ -50,9 +50,11 @@ FORCE_BLOCK_PATH: bool | None = None
 
 # In-kernel statistics emission (sd convs return their output's
 # instance-norm mu/inv from VMEM instead of a separate two-pass
-# block_stats read). Interpreter-verified and suite-covered; OPT-IN
-# (WAV2SLEEP_KERNEL_STATS=1) until the Mosaic compile is validated on
-# real TPU hardware — the tunnel was down when this landed.
+# block_stats read). Interpreter-verified and suite-covered, but
+# REJECTED on real-hardware measurement (scripts/validate_kernel_stats.py,
+# v5e: forward 90.2 ms ON vs 79.4 OFF, train step 326.5 vs 193.4 — the
+# emission defeats the remat backward's fusion; see docs/design.md).
+# OPT-IN via WAV2SLEEP_KERNEL_STATS=1 for future Mosaic versions only.
 KERNEL_STATS: bool | None = None
 
 
