@@ -38,24 +38,90 @@ BASELINE_PER_CHIP = 5000.0 / 8.0  # recordings/hour/chip
 # Source sampling rates (Hz). 'grid' writes files already at the model grid
 # (1024/30 and 256/30 Hz), which lets the q16/q8 kernels take their ratio==1
 # identity fast path; 'offgrid' writes NSRR-realistic rates (SHHS ECG 125 Hz,
-# MESA PPG 256 Hz, SHHS ABD/THX 10 Hz) so the true lerp path — and, for the
-# raw pipeline, real bucket geometry — is what gets timed.
+# MESA PPG 256 Hz, SHHS ABD/THX 10 Hz; MESA EOG 256 Hz) so the true lerp
+# path — and, for the raw pipeline, real bucket geometry — is what gets
+# timed. Keyed by the released-variant signal set (--signals).
 SOURCE_RATES = {
-    'grid': {'ECG': 1024 / 30, 'Pleth': 1024 / 30, 'ABDO RES': 256 / 30, 'THOR RES': 256 / 30},
-    'offgrid': None,  # wav2sleep_tpu.data.synth.RATES (NSRR-realistic)
+    'cardio': {
+        'grid': {'ECG': 1024 / 30, 'Pleth': 1024 / 30, 'ABDO RES': 256 / 30, 'THOR RES': 256 / 30},
+        'offgrid': None,  # wav2sleep_tpu.data.synth.RATES (NSRR-realistic)
+    },
+    'eog': {
+        'grid': {'EOG(L)': 4096 / 30, 'EOG(R)': 4096 / 30},
+        'offgrid': None,  # wav2sleep_tpu.data.synth.RATES_EOG
+    },
+}
+SIGNAL_SETS = {
+    'cardio': ['ABD', 'THX', 'ECG', 'PPG'],
+    'eog': ['EOG-L', 'EOG-R'],
 }
 
 
 def generate_edfs(
-    folder: str, n_nights: int, hours: float, seed: int = 0, source_rates: str = 'offgrid'
+    folder: str,
+    n_nights: int,
+    hours: float,
+    seed: int = 0,
+    source_rates: str = 'offgrid',
+    signal_set: str = 'cardio',
 ) -> list[str]:
     """Distinct realistic-morphology overnight EDFs (QRS-wavelet ECG,
-    pulsatile PPG, breathing-shaped respiration — wav2sleep_tpu/data/synth.py)
-    at grid or NSRR-realistic rates."""
+    pulsatile PPG, breathing-shaped respiration; or stage-modulated EOG
+    pairs — wav2sleep_tpu/data/synth.py) at grid or NSRR-realistic rates."""
     from wav2sleep_tpu.data.synth import write_nights
 
-    fps, _ = write_nights(folder, n_nights, hours, seed, rates=SOURCE_RATES[source_rates])
+    fps, _ = write_nights(
+        folder, n_nights, hours, seed,
+        rates=SOURCE_RATES[signal_set][source_rates], kind=signal_set,
+    )
     return fps
+
+
+def calibrate_link(n_bytes: int = 32 << 20, reps: int = 4) -> dict:
+    """Same-session device-link calibration: one fixed-size H2D and D2H
+    transfer, repeated, median MB/s each way. The tunnel-attached link has
+    hours-scale weather (VERDICT r3: driver captures halved across rounds
+    with no code change), so every bench JSON carries this field — it lets
+    a reader separate code regression from a slow link day. Protocol: the
+    host buffer is allocated+touched once and reused (fresh allocations
+    page-fault at ~12 MB/s on this VM — that tax is the host's, not the
+    link's); rep 1 of each direction is discarded as warm-up."""
+    import jax
+    import jax.numpy as jnp
+
+    buf = np.empty(n_bytes, np.uint8)
+    buf[:] = 42  # touch every page before timing
+    h2d, d2h = [], []
+    dev = None
+    for i in range(reps + 1):
+        t0 = time.time()
+        dev = jax.device_put(buf)
+        jax.block_until_ready(dev)
+        if i:
+            h2d.append(time.time() - t0)
+    # D2H must fetch a DEVICE-PRODUCED array: device_get of the device_put
+    # result above returns the runtime's cached host-side copy without
+    # touching the link (measured 3.7 TB/s — i.e. a memcpy, not a transfer).
+    # A trivial jitted op forces a fresh on-device value each rep. The fetch
+    # allocates a new host array per rep; after rep 1 the allocator recycles
+    # the just-freed (already-touched) block, so only the discarded warm-up
+    # rep pays this VM's page-fault tax.
+    bump = jax.jit(lambda x: x + jnp.uint8(1))
+    for i in range(reps + 1):
+        fresh = bump(dev)
+        jax.block_until_ready(fresh)
+        t0 = time.time()
+        out = jax.device_get(fresh)
+        if i:
+            d2h.append(time.time() - t0)
+        del out, fresh
+    del dev
+    mb = n_bytes / (1 << 20)
+    return {
+        'link_h2d_MBps': round(mb / float(np.median(h2d)), 1),
+        'link_d2h_MBps': round(mb / float(np.median(d2h)), 1),
+        'link_probe_MiB': int(mb),
+    }
 
 
 def _warm_extractor_pipeline(pipe, fps, work, batch: int) -> None:
@@ -90,9 +156,24 @@ def main():
         ),
     )
     parser.add_argument(
+        '--signals',
+        default='cardio',
+        choices=sorted(SIGNAL_SETS),
+        help=(
+            'released-variant signal set: cardio = wav2sleep (ECG+PPG+ABD+THX, '
+            '4-class); eog = wav2sleep-eog (EOG-L/R, 5-class, 4096 samples/'
+            'epoch -> the deepest 10-block encoders)'
+        ),
+    )
+    parser.add_argument(
+        '--no-link-calibration',
+        action='store_true',
+        help='skip the same-session H2D/D2H link probe (link_MBps JSON fields)',
+    )
+    parser.add_argument(
         '--source-rates',
         default='offgrid',
-        choices=sorted(SOURCE_RATES),
+        choices=('grid', 'offgrid'),
         help=(
             'offgrid (default): NSRR-realistic source rates exercising the real '
             'lerp/resample path; grid: sources already at the model grid '
@@ -118,8 +199,8 @@ def main():
     )
     from wav2sleep_tpu.settings import COLS_TO_SAMPLES_PER_EPOCH
 
-    signals = ['ABD', 'THX', 'ECG', 'PPG']
-    model, _cfg = _flagship_model(feature_dim=args.feature_dim)
+    signals = SIGNAL_SETS[args.signals]
+    model, _cfg = _flagship_model(feature_dim=args.feature_dim, variant=args.signals)
 
     # --- generate corpus (not timed) ---
     # Every night is a DISTINCT file: steady-state serving never re-reads
@@ -131,7 +212,9 @@ def main():
         os.path.dirname(os.path.abspath(__file__)),
         '.cache',
         'bench_corpus',
-        f'{args.source_rates}_{args.nights}x{args.hours:g}h',
+        f'{args.signals}_{args.source_rates}_{args.nights}x{args.hours:g}h'
+        if args.signals != 'cardio'
+        else f'{args.source_rates}_{args.nights}x{args.hours:g}h',
     )
     # Stamp the cache with a hash of everything that determines the on-disk
     # corpus bytes — the waveform generator, the EDF writer (int16
@@ -148,7 +231,7 @@ def main():
     for mod in (_synth_mod, _edf_mod):
         with open(mod.__file__, 'rb') as f:
             h.update(f.read())
-    h.update(f'{SOURCE_RATES[args.source_rates]!r}|seed=0'.encode())
+    h.update(f'{SOURCE_RATES[args.signals][args.source_rates]!r}|kind={args.signals}|seed=0'.encode())
     gen_stamp = h.hexdigest()
     stamp_fp = os.path.join(cache, 'GENERATOR_STAMP')
     try:
@@ -162,7 +245,10 @@ def main():
     )
     if len(fps) != args.nights or not stamp_ok:
         tmp = tempfile.mkdtemp(prefix='w2s_bench_')
-        fps = generate_edfs(tmp, args.nights, args.hours, source_rates=args.source_rates)
+        fps = generate_edfs(
+            tmp, args.nights, args.hours,
+            source_rates=args.source_rates, signal_set=args.signals,
+        )
         try:
             import shutil
 
@@ -243,6 +329,10 @@ def main():
         dev = {c: jnp.asarray(pipe._bufs[0][c]) for c in signals}
         np.asarray(pipe.forward(variables, dev))
 
+    # Same-session link calibration (before the timed passes, same process):
+    # cross-day throughput comparisons can separate code from link weather.
+    link = {} if args.no_link_calibration else calibrate_link()
+
     # Several measured passes; report the median (the device link is shared
     # infrastructure with large temporal jitter — median resists both a slow
     # outlier pass and the upward bias a best-of estimator would introduce).
@@ -260,8 +350,9 @@ def main():
 
     # Exactly ONE JSON line (driver/CLAUDE.md contract) — the verbose
     # extras ride as additional keys on the same line.
+    sig_desc = {'cardio': 'ECG+PPG+ABD+THX', 'eog': 'EOG-L+EOG-R'}[args.signals]
     line = {
-        'metric': 'EDF->hypnogram inference throughput (10h nights, ECG+PPG+ABD+THX)',
+        'metric': f'EDF->hypnogram inference throughput ({args.hours:g}h nights, {sig_desc})',
         'value': round(per_hour_per_chip, 1),
         'unit': 'recordings/hour/chip',
         'vs_baseline': round(per_hour_per_chip / BASELINE_PER_CHIP, 3),
@@ -269,6 +360,7 @@ def main():
         'source_rates': args.source_rates,
         'precision': args.precision,
         'passes_s': [round(e, 3) for e in elapsed],
+        **link,
     }
     if args.verbose:
         line.update(

@@ -24,6 +24,11 @@ import numpy as np
 RATES = {'ECG': 125.0, 'Pleth': 256.0, 'ABDO RES': 10.0, 'THOR RES': 10.0}
 EDF_TO_COL = {'ECG': 'ECG', 'Pleth': 'PPG', 'ABDO RES': 'ABD', 'THOR RES': 'THX'}
 
+# EOG (MESA-style 256 Hz; model grid is 4096/30 ~ 136.5 Hz, so decoding
+# exercises the DOWN-sampling lerp path — the opposite regime from ECG).
+RATES_EOG = {'EOG(L)': 256.0, 'EOG(R)': 256.0}
+EDF_TO_COL_EOG = {'EOG(L)': 'EOG-L', 'EOG(R)': 'EOG-R'}
+
 # Per-stage signal physiology (Wake / Light / Deep / REM). Deliberately
 # strong signatures: the aim is a model with genuine cross-night skill whose
 # decision margins reflect *trained* behavior, not clinical realism. (With
@@ -203,31 +208,136 @@ def synth_night(
     return signals, stages
 
 
+# Per-stage EOG physiology (Wake / N1 / N2 / N3 / REM), amplitudes in uV.
+# Wake: blink spikes + high broadband noise; N1: slow rolling eye movements
+# (anti-phase L/R); N2: quiescent; N3: high-amplitude delta bleed (common-
+# mode, in-phase on both channels); REM: bursts of sharp saccades
+# (anti-phase). Strong signatures on purpose, like the cardio tables above.
+EOG_SLOW_AMP = np.array([5.0, 60.0, 8.0, 10.0, 15.0])
+EOG_SLOW_HZ = np.array([0.5, 0.30, 0.2, 0.2, 0.4])
+EOG_DELTA_AMP = np.array([4.0, 10.0, 25.0, 90.0, 6.0])
+EOG_NOISE = np.array([18.0, 9.0, 7.0, 8.0, 10.0])
+
+
+def synth_night_eog(
+    rng: np.random.Generator, hours: float, rates: dict | None = None
+) -> tuple[dict, np.ndarray]:
+    """Stage-modulated EOG-L/EOG-R pair; returns ({channel: uV}, stages 0-4).
+
+    Same scratch-pool discipline as ``synth_night`` (arrays are overwritten
+    by the next call). The two channels share conjugate eye-movement
+    components: slow rolling movements and REM saccades are ANTI-phase
+    (horizontal gaze moves the eyes together, which flips polarity across
+    the L/R referential pair) while delta/EEG bleed and blinks ride
+    IN-phase — the cross-channel structure a 2-channel EOG model learns.
+    """
+    R = RATES_EOG if rates is None else rates
+    n_epochs = int(hours * 120)
+    # 5-class stage sequence with the same ~20-epoch dwell law.
+    stages = []
+    while len(stages) < n_epochs:
+        stage = int(rng.integers(0, 5))
+        stages.extend([stage] * int(rng.geometric(1 / 20.0)))
+    stages = np.asarray(stages[:n_epochs], np.int32)
+    two_pi = np.float32(2 * np.pi)
+
+    fs = R['EOG(L)']
+    spe = int(round(fs * 30))
+    n = spe * n_epochs
+    t = _time_grid('t_eog', fs, n)
+
+    def per_sample_into(out: np.ndarray, values: np.ndarray) -> np.ndarray:
+        out.reshape(n_epochs, spe)[:] = values[stages].astype(np.float32)[:, None]
+        return out
+
+    a = _scratch('eog_a', n)
+    b = _scratch('eog_b', n)
+    # Slow rolling eye movements: stage-modulated rate + amplitude.
+    per_sample_into(b, EOG_SLOW_HZ.astype(np.float32))
+    phase = np.cumsum(b, dtype=np.float64, out=_scratch('eog_phase64', n, np.float64))
+    phase *= 2 * np.pi / fs
+    slow = _scratch('eog_slow', n)
+    slow[:] = phase
+    np.sin(slow, out=slow)
+    slow *= per_sample_into(a, EOG_SLOW_AMP.astype(np.float32))
+    # Common-mode delta/EEG bleed at ~1.2 Hz.
+    delta = _scratch('eog_delta', n)
+    np.multiply(t, two_pi * np.float32(1.2), out=delta)
+    np.sin(delta, out=delta)
+    delta *= per_sample_into(a, EOG_DELTA_AMP.astype(np.float32))
+
+    eog_l = _scratch('out_eog_l', n)
+    eog_r = _scratch('out_eog_r', n)
+    np.add(delta, slow, out=eog_l)
+    np.multiply(slow, np.float32(-0.9), out=slow)  # anti-phase on R
+    np.add(delta, slow, out=eog_r)
+    # Per-channel broadband noise.
+    rng.standard_normal(out=b, dtype=np.float32)
+    b *= per_sample_into(a, EOG_NOISE.astype(np.float32))
+    eog_l += b
+    rng.standard_normal(out=b, dtype=np.float32)
+    b *= per_sample_into(a, EOG_NOISE.astype(np.float32))
+    eog_r += b
+    # REM saccade bursts (anti-phase square deflections, ~0.4 s each).
+    sac = int(fs * 0.4)
+    for ep in np.flatnonzero(stages == 4)[:: max(1, n_epochs // 80)]:
+        s = int(ep) * spe
+        for k in range(3):
+            o = s + k * 2 * sac
+            amp = np.float32(150.0 if k % 2 == 0 else -150.0)
+            eog_l[o : o + sac] += amp
+            eog_r[o : o + sac] -= amp * np.float32(0.9)
+    # Wake blinks (in-phase positive spikes, ~0.3 s).
+    blink = int(fs * 0.3)
+    for ep in np.flatnonzero(stages == 0)[:: max(1, n_epochs // 80)]:
+        s = int(ep) * spe
+        eog_l[s : s + blink] += np.float32(120.0)
+        eog_r[s : s + blink] += np.float32(110.0)
+    return {'EOG(L)': eog_l, 'EOG(R)': eog_r}, stages
+
+
 def write_night_edf(fp: str, signals: dict, rates: dict | None = None, start=None) -> None:
     from .edf import write_edf
 
+    if rates is None:
+        rates = RATES_EOG if 'EOG(L)' in signals else RATES
     write_edf(
         fp,
         signals=signals,
-        sampling_freqs=RATES if rates is None else rates,
-        units={'ECG': 'uV'},
+        sampling_freqs=rates,
+        units={'ECG': 'uV', 'EOG(L)': 'uV', 'EOG(R)': 'uV'},
         physical_ranges={
             'ECG': (-6000, 6000),
             'Pleth': (-1, 1),
             'ABDO RES': (-1, 1),
             'THOR RES': (-1, 1),
+            'EOG(L)': (-500, 500),
+            'EOG(R)': (-500, 500),
         },
         record_duration=30.0,
         start=start or datetime.datetime(2002, 3, 1, 22, 0, 0),
     )
 
 
-def write_nights(folder: str, n_nights: int, hours: float, seed: int, rates: dict | None = None):
-    """N distinct realistic-morphology EDF nights; returns (paths, labels)."""
+def write_nights(
+    folder: str,
+    n_nights: int,
+    hours: float,
+    seed: int,
+    rates: dict | None = None,
+    kind: str = 'cardio',
+):
+    """N distinct realistic-morphology EDF nights; returns (paths, labels).
+
+    ``kind='cardio'`` (default): ECG/PPG/ABD/THX with 4-class stages;
+    ``kind='eog'``: EOG-L/EOG-R with 5-class stages (the wav2sleep-eog
+    released-variant geometry, reference src/wav2sleep/hub.py:17-23).
+    """
+    gen = {'cardio': synth_night, 'eog': synth_night_eog}[kind]
     rng = np.random.default_rng(seed)
     fps, labels = [], []
     for i in range(n_nights):
-        signals, stages = synth_night(rng, hours, rates)
+        signals, stages = gen(rng, hours, rates)
         fp = os.path.join(folder, f'night{i:03d}.edf')
         write_night_edf(fp, signals, rates)
         fps.append(fp)
