@@ -12,6 +12,8 @@ import os
 import subprocess
 import sys
 
+import pytest
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
@@ -42,6 +44,7 @@ def _run_child(code: str, platforms: str | None) -> subprocess.CompletedProcess:
     )
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_under_driver_env():
     """The exact round-1 failure mode: import under a non-CPU platform with
     no XLA_FLAGS, then call dryrun_multichip(8)."""
@@ -52,6 +55,7 @@ def test_dryrun_multichip_under_driver_env():
     assert 'dryrun_multichip OK: 8 devices' in proc.stdout
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_after_backend_initialized():
     """If a too-small backend is already live (driver touched jax.devices()
     first), the dry run must still pass via its clean-subprocess fallback."""

@@ -17,9 +17,12 @@ from wav2sleep_tpu.parallel.mesh import make_mesh
 
 from tests.train.test_trainer_smoke import corpus, make_trainer  # noqa: F401
 
-pytestmark = pytest.mark.skipif(
-    jax.device_count() < 4, reason='needs the multi-device CPU mesh (conftest XLA_FLAGS)'
-)
+pytestmark = [
+    pytest.mark.slow,
+    pytest.mark.skipif(
+        jax.device_count() < 4, reason='needs the multi-device CPU mesh (conftest XLA_FLAGS)'
+    ),
+]
 
 
 def _mesh4():
