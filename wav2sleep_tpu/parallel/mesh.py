@@ -19,6 +19,13 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 DATA_AXIS = 'data'
 MODEL_AXIS = 'model'
 
+# One-shot barrier ids for warmup_collectives (coordination-service barriers
+# cannot be reused; all processes call the warmup at the same code points,
+# so a per-process counter stays in lockstep).
+import itertools as _itertools
+
+_WARMUP_SEQ = _itertools.count()
+
 
 def maybe_initialize_distributed() -> bool:
     """Initialize jax.distributed on TPU-VM pods (multi-host training).
@@ -97,9 +104,72 @@ def shard_batch(mesh: Mesh, batch):
 
 
 def replicate(mesh: Mesh, tree):
-    """Device-put a pytree fully replicated across the mesh."""
+    """Device-put a pytree fully replicated across the mesh.
+
+    Multi-process meshes take a collective-FREE path: ``jax.device_put``
+    onto a sharding that spans non-addressable devices routes through
+    ``multihost_utils.assert_equal`` — an immediate cross-process allgather
+    per leaf. That is both slow (one collective per parameter) and fragile:
+    it becomes the program's first collective, and if a peer process is
+    still compiling its first graph (compile-cache skew between hosts),
+    Gloo's 30 s context-init key-value exchange times out (observed:
+    ``GetKeyValue() timed out with key: cpu:gloo/...``). The state being
+    replicated is per-process identical by construction (seeded init or a
+    restored checkpoint), so build the global array directly from local
+    per-device copies instead — no communication at all.
+    """
     sharding = replicated(mesh)
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
+    if jax.process_count() == 1:
+        return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
+    import jax.numpy as jnp
+
+    local = list(mesh.local_devices)
+
+    def _rep(x):
+        if not isinstance(x, (np.ndarray, jax.Array)):
+            # Match device_put's scalar promotion (python int -> int32 etc.).
+            x = jnp.asarray(x)
+        x = np.asarray(x)
+        shards = [jax.device_put(x, d) for d in local]
+        return jax.make_array_from_single_device_arrays(x.shape, sharding, shards)
+
+    return jax.tree_util.tree_map(_rep, tree)
+
+
+def warmup_collectives(mesh: Mesh) -> None:
+    """Establish the cross-process communicator for the full-mesh clique
+    with one trivial barrier while the processes are still in lockstep.
+
+    Gloo context initialization exchanges ranks through the coordination
+    service with a hard 30 s deadline (not configurable from jax). If the
+    program's first collective is the first *train step*, that deadline
+    races against inter-process compile skew (one host hitting the
+    persistent compile cache while another misses can skew dispatch by
+    minutes). A sub-second barrier right after mesh/state setup creates the
+    communicator when skew is milliseconds; XLA caches it process-wide, so
+    later collectives — however skewed their compiles — reuse it. No-op on
+    single-process runs.
+    """
+    if jax.process_count() == 1:
+        return
+    from jax.experimental import multihost_utils
+
+    seq = next(_WARMUP_SEQ)
+    # Gate on the coordination-service barrier FIRST: it has no 30 s limit
+    # (we grant 10 min), so even on heavily oversubscribed hosts — where
+    # mere imports and datamodule setup skew processes by minutes — every
+    # process enters the Gloo context-init window within milliseconds of
+    # the others. Barrier ids are one-shot in the coordination service,
+    # hence the per-call sequence suffix (restore paths re-warm).
+    try:
+        from jax._src import distributed
+
+        client = distributed.global_state.client
+    except Exception:
+        client = None
+    if client is not None:
+        client.wait_at_barrier(f'w2s_warmup_{seq}', timeout_in_ms=600_000)
+    multihost_utils.sync_global_devices(f'w2s_collectives_warmup_{seq}')
 
 
 def local_batch_size(global_batch: int, mesh: Mesh) -> int:

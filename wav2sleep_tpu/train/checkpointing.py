@@ -53,17 +53,36 @@ class CheckpointManager:
             self._write('best', tree, meta)
 
     def _write(self, name: str, tree, meta) -> None:
+        """Atomic save. Multi-process (TPU pod) discipline: orbax's
+        ``Checkpointer.save`` must be called by EVERY process (it runs its
+        own internal barriers and primary-host-only writes), while the
+        non-orbax filesystem juggling around it — tmp cleanup, the final
+        rename, the meta sidecar — must run on rank zero only, fenced by
+        global barriers so no process can race ahead into a restore (or the
+        next save) while the rename is still in flight on a shared FS."""
+        from jax.experimental import multihost_utils
+
+        import jax as _jax
+
+        multi = _jax.process_count() > 1
+        from ..utils import is_rank_zero
+
         path = os.path.join(self.root, name)
         tmp = path + '.tmp'
-        if os.path.exists(tmp):
+        if is_rank_zero() and os.path.exists(tmp):
             shutil.rmtree(tmp)
+        if multi:
+            multihost_utils.sync_global_devices(f'w2s_ckpt_pre_{name}')
         self._ckptr.save(tmp, tree)
         self._ckptr.wait_until_finished()
-        if os.path.exists(path):
-            shutil.rmtree(path)
-        os.replace(tmp, path)
-        with open(self._meta_path(name), 'w') as f:
-            json.dump(meta, f)
+        if is_rank_zero():
+            if os.path.exists(path):
+                shutil.rmtree(path)
+            os.replace(tmp, path)
+            with open(self._meta_path(name), 'w') as f:
+                json.dump(meta, f)
+        if multi:
+            multihost_utils.sync_global_devices(f'w2s_ckpt_post_{name}')
 
     def _saved_keys(self, path: str) -> set[str] | None:
         """Top-level keys of a saved checkpoint (orbax item metadata), or
@@ -212,6 +231,16 @@ class CheckpointManager:
         trainer.rng = restored['rng']
         if 'host_ema' in restored:
             trainer._host_ema = restored['host_ema']
+        if getattr(trainer, 'mesh', None) is not None:
+            # The restored tree is host numpy; put it back on the mesh the
+            # same way _ensure_state does. On multi-process runs this is
+            # REQUIRED (a host-local tree fed to the jitted step would
+            # trigger a per-leaf cross-process assert_equal allgather);
+            # on single-process meshes it just avoids an implicit reshard
+            # on the first post-restore step.
+            from ..parallel.mesh import replicate
+
+            trainer.state = replicate(trainer.mesh, trainer.state)
         return self._resume_epoch(trainer, meta_path)
 
     def _resume_epoch(self, trainer, meta_path: str) -> int:

@@ -179,6 +179,12 @@ class Trainer:
     # ``stage_ring`` batches ago (no longer implied by the metric fetch).
     metric_fetch_every: int = 16
     stage_ring: int = 4
+    # Same deferred-drain treatment for the eval matrix: results of batch n
+    # (loss scalar + [C,C] cmat + preds per subset — tiny) are fetched only
+    # every K batches, so eval H2D transfers stack under in-flight compute
+    # instead of serializing one batch at a time behind a per-batch fetch.
+    # 1 restores the round-3 per-batch-fetch behavior (the A/B baseline).
+    eval_fetch_every: int = 16
 
     state: TrainState = field(default=None, repr=False)
     current_epoch: int = 0
@@ -240,6 +246,7 @@ class Trainer:
             logger.info(f'Initialized model with {n_params:,} parameters.')
         if self._jit_train is None:
             if self.mesh is not None:
+                from ..parallel.mesh import replicate, warmup_collectives
                 from .step import parallelize_eval_step, parallelize_train_step
 
                 x, y = example_batch if isinstance(example_batch, tuple) else (example_batch, None)
@@ -247,6 +254,18 @@ class Trainer:
                 self._jit_eval = parallelize_eval_step(
                     self._eval_step, self.mesh, self.state.params, self.state.batch_stats, (x, y)
                 )
+                # Replicate the state onto the mesh explicitly: on a single
+                # process jit would reshard the committed single-device init
+                # arrays implicitly, but on multi-process runs a committed
+                # local array cannot be consumed by a global computation —
+                # the state must become a global (fully-replicated) array
+                # before the first step.
+                self.state = replicate(self.mesh, self.state)
+                # Create the Gloo/ICI communicator NOW, while the processes
+                # are within seconds of each other — before the first train
+                # step's minutes-long compile can skew them past the 30 s
+                # context-init deadline (see warmup_collectives docstring).
+                warmup_collectives(self.mesh)
             else:
                 self._jit_train = jax.jit(self._train_step, donate_argnums=(0,))
                 self._jit_eval = jax.jit(self._eval_step)
@@ -325,10 +344,24 @@ class Trainer:
         """Row count a batch of ``B`` real rows should be padded to: the
         configured loader batch size when short of it, rounded up to the
         next multiple of the mesh's data axis (the configured size itself
-        may not divide it)."""
+        may not divide it). On multi-process runs the batch being padded is
+        the PROCESS-LOCAL shard (each host feeds its own rows through
+        ``global_batch_from_local``), so it must fill this host's share of
+        the data axis — rounding a local batch up to the GLOBAL axis size
+        would pad every host to the full global batch and ship
+        ``process_count``× the intended rows."""
         target = max(B, int(configured)) if configured is not None else B
         if self.mesh is not None:
+            import jax as _jax
+
             n_data = self.mesh.shape['data']
+            n_procs = _jax.process_count()
+            if n_procs > 1:
+                if n_data % n_procs:
+                    raise ValueError(
+                        f'data axis ({n_data}) not divisible by process count ({n_procs})'
+                    )
+                n_data //= n_procs
             target = -(-target // n_data) * n_data
         return None if target == B else target
 
@@ -386,6 +419,14 @@ class Trainer:
         losses = []
         cmat = np.zeros((self.num_classes, self.num_classes), np.int64)
         step_rng = jax.random.fold_in(self.rng, epoch)
+        if self.mesh is not None:
+            # fold_in yields a committed single-device array; the jitted
+            # step's replicated in_sharding needs a global array. fold_in is
+            # deterministic and self.rng is per-process identical, so the
+            # collective-free replicate is exact (see parallel/mesh.py).
+            from ..parallel.mesh import replicate
+
+            step_rng = replicate(self.mesh, step_rng)
         t0 = time.time()
         n = 0
         # Software pipeline: dispatch step n (async), stage batch n+1 so its
@@ -526,6 +567,10 @@ class Trainer:
             # One explicit H2D transfer per eval/predict pass; returning the
             # host numpy tree directly would re-upload the full parameter
             # set on EVERY jitted call (once per batch per signal subset).
+            if self.mesh is not None:
+                from ..parallel.mesh import replicate
+
+                return replicate(self.mesh, self._host_ema)
             return jax.device_put(self._host_ema)
         if self.state.ema_params is not None:
             return self.state.ema_params
@@ -546,29 +591,39 @@ class Trainer:
         def presence(key, x, B):
             if key is None:
                 return None
-            return {k: np.full((B,), k in key, dtype=bool) for k in x}
+            masks = {k: np.full((B,), k in key, dtype=bool) for k in x}
+            if self.mesh is not None:
+                import jax as _jax
 
-        # Same software pipeline as train_epoch: dispatch every subset's eval
-        # on the current batch (async), stage the next batch's H2D transfer
-        # under that compute, then fetch. Eval batches are fresh loader
-        # arrays (no pooled host slots), so only dispatch depth matters —
-        # bounded to one batch ahead by the per-batch fetch below.
+                if _jax.process_count() > 1:
+                    # B counts PROCESS-LOCAL padded rows; the jitted eval
+                    # consumes the GLOBAL batch, so the masks must be
+                    # assembled the same way the batch itself is.
+                    from ..parallel.mesh import global_batch_from_local
+
+                    return global_batch_from_local(self.mesh, masks)
+            return masks
+
+        # Same software pipeline as train_epoch, including the deferred
+        # drain (round-3 fixed the train loop but left eval with a per-batch
+        # fetch, which bounded eval to ONE transfer in flight — the host
+        # could not stage batch n+2 until every subset of batch n had been
+        # fetched): dispatch every subset's eval on the current batch
+        # (async), stage the next batch's H2D transfer under that compute,
+        # and only fetch every ``eval_fetch_every`` batches. Eval batches
+        # are fresh loader arrays (no pooled host slots), so there is no
+        # reuse guard to honor; pending results are tiny (loss scalar +
+        # [C,C] cmat + argmax preds per subset).
         def stage(nxt):
             if nxt is None:
                 return None
             x, y, _ = self._pad_batch(*nxt, self._batch_target(nxt[1].shape[0], batch_size))
             return self._device_batch(x, y), x, y.shape[0]
 
-        host_it = iter(loader)
-        staged = stage(next(host_it, None))
-        while staged is not None:
-            batch, x_host, B = staged
-            outs = [
-                (key, self._jit_eval(params, self.state.batch_stats, batch, presence(key, x_host, B)))
-                for key in keys
-            ]
-            staged = stage(next(host_it, None))
-            for key, out in outs:
+        pending: list = []
+
+        def drain():
+            for key, out in pending:
                 cmat = np.asarray(out['cmat'], np.int64)
                 # Weight each batch's mean loss by its scored-epoch count
                 # (the cmat total): an unweighted mean of batch means lets
@@ -578,6 +633,22 @@ class Trainer:
                 # on_epoch reduction is sample-weighted the same way.
                 losses[key].append((float(out['loss']), int(cmat.sum())))
                 cmats[key] += cmat
+            pending.clear()
+
+        host_it = iter(loader)
+        staged = stage(next(host_it, None))
+        n = 0
+        while staged is not None:
+            batch, x_host, B = staged
+            pending.extend(
+                (key, self._jit_eval(params, self.state.batch_stats, batch, presence(key, x_host, B)))
+                for key in keys
+            )
+            staged = stage(next(host_it, None))
+            n += 1
+            if n % max(1, self.eval_fetch_every) == 0:
+                drain()
+        drain()
         def wmean(pairs):
             total = sum(n for _, n in pairs)
             if not pairs or total == 0:
@@ -616,6 +687,13 @@ class Trainer:
             self.datamodule, 'val_batch_size' if mode == VAL else 'test_batch_size', None
         )
         results: dict[str, float] = {}
+        # Per-loader wall times (instrumentation: the eval matrix re-forwards
+        # the val set once per loader with all subsets sharing the pass —
+        # these say what fraction of an epoch the matrix costs on a
+        # transfer-bound host). Logged to metrics.jsonl, NOT returned:
+        # returned metrics must be comparable across equivalent runs.
+        timings: dict[str, float] = {}
+        t_eval0 = time.time()
         for ds_name, loader in loaders:
             # Identify the combined loader by NAME: when the combined fps
             # list is empty, val_loaders() skips it and index 0 would be a
@@ -623,6 +701,8 @@ class Trainer:
             is_combined = mode == VAL and ds_name == 'all'
             subsets = () if is_combined else tuple(self._subset_matrix(ds_name, mode))
             stats = self._run_eval(loader, subsets, batch_size=eval_bs)
+            timings[f'{mode}_eval_seconds_{ds_name}'] = round(time.time() - t_eval0, 3)
+            t_eval0 = time.time()
             loss, cmat = stats[None]
             if is_combined:
                 results[f'{mode}_loss'] = loss
@@ -645,7 +725,7 @@ class Trainer:
                     'No combined val loader; val_loss is the mean of the '
                     'per-dataset val losses.'
                 )
-        self.metrics_logger.log(results, step=epoch)
+        self.metrics_logger.log({**results, **timings}, step=epoch)
         return results
 
     # ------------------------------------------------------------------
