@@ -1,0 +1,247 @@
+#!/usr/bin/env python
+"""Convergence-scale training drive: the full production loop, run to
+early-stopping completion on real hardware (VERDICT r3 next-round item 2).
+
+Everything prior rounds only exercised for 1-2 epochs fires for real here:
+early stopping (patience 5) must actually trigger, the plateau LR
+controller must step, the EMA eval-swap and best-vs-last checkpoint
+selection must run over tens of epochs, the full eval matrix runs every
+epoch, and the best checkpoint is exported and reloaded through the
+public API at the end. Reference role: a full ``scripts/train.py`` fit of
+the upstream repo (/root/reference/scripts/train.py:88-105) driven by its
+hydra config with Lightning EarlyStopping/ModelCheckpoint callbacks.
+
+Two phases:
+
+``--prepare`` (CPU): N distinct realistic-morphology nights
+(wav2sleep_tpu/data/synth.py) written as EDF + NSRR annotation XML pairs,
+then ingested through the REAL offline pipeline (``process_night``: EDF
+reader -> alias matching -> unit QC -> grid resample -> parquet with label
+join) into ``<root>/data/mesa/{train,val,test}``.
+
+default (TPU): drive ``scripts/train.py``'s ``main()`` on that corpus with
+the production knobs (plateau scheduler, EMA with eval-swap, early stopping
+patience 5, test pass, best-checkpoint restore + export), then reload the
+exported checkpoint via the public API and re-score the test nights.
+Artifacts (metrics.jsonl, summary + final kappa table) are copied to
+``docs/measurements/convergence_drive_r4/`` — ``runs/`` is gitignored, the
+evidence must live somewhere inspectable.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import os
+import shutil
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+logger = logging.getLogger('convergence_drive')
+
+# Synthetic 4-class stages (Wake/Light/Deep/REM, data/synth.py) -> raw NSRR
+# stage codes as scored in annotation XMLs: Light is scored N2 (2), Deep N3
+# (3), REM carries raw code 5 (data/utils.py convert_int_stage maps 5 -> 4).
+SYNTH_TO_NSRR = {0: 0, 1: 2, 2: 3, 3: 5}
+
+
+def write_nsrr_xml(fp: str, stages) -> None:
+    """NSRR-format annotation XML for one night (30 s epochs, run-length
+    encoded like real NSRR exports; format pinned by data/xml.py's parser)."""
+    parts = [
+        '<Events>',
+        '<ScoredEvent>',
+        '<EventConcept>Recording Start Time</EventConcept>\n<Start>0</Start>',
+        '</ScoredEvent>',
+    ]
+    t = 0.0
+    run_stage, run_len = int(stages[0]), 0
+    runs = []
+    for s in stages:
+        if int(s) == run_stage:
+            run_len += 1
+        else:
+            runs.append((run_stage, run_len))
+            run_stage, run_len = int(s), 1
+    runs.append((run_stage, run_len))
+    for stage, n in runs:
+        dur = 30.0 * n
+        parts.append(
+            '<ScoredEvent>\n'
+            '<EventType>Stages.Stages</EventType>\n'
+            f'<EventConcept>Stage|{SYNTH_TO_NSRR[stage]}</EventConcept>\n'
+            f'<Start>{t:g}</Start>\n'
+            f'<Duration>{dur:g}</Duration>\n'
+            '</ScoredEvent>'
+        )
+        t += dur
+    parts.append('</Events>')
+    with open(fp, 'w') as f:
+        f.write('\n'.join(parts))
+
+
+def prepare(root: str, nights: int, hours: float, seed: int) -> None:
+    """Synth EDF+XML pairs -> real ingest -> split-partitioned parquet."""
+    import numpy as np
+
+    from wav2sleep_tpu.data.synth import synth_night, write_night_edf
+    from wav2sleep_tpu.ingest import process_night
+    from wav2sleep_tpu.settings import ABD, ECG, PPG, THX
+
+    n_val = n_test = max(2, nights // 8)
+    n_train = nights - n_val - n_test
+    splits = ['train'] * n_train + ['val'] * n_val + ['test'] * n_test
+    edf_dir = os.path.join(root, 'edfs')
+    os.makedirs(edf_dir, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    t0 = time.time()
+    written = 0
+    for i, split in enumerate(splits):
+        out_fp = os.path.join(root, 'data', 'mesa', split, f'night{i:04d}.parquet')
+        if os.path.exists(out_fp):
+            continue
+        signals, stages = synth_night(rng, hours)
+        edf_fp = os.path.join(edf_dir, f'night{i:04d}.edf')
+        xml_fp = os.path.join(edf_dir, f'night{i:04d}-nsrr.xml')
+        write_night_edf(edf_fp, signals)
+        write_nsrr_xml(xml_fp, stages)
+        ok = process_night(edf_fp, xml_fp, out_fp, columns=[ECG, PPG, ABD, THX])
+        if not ok:
+            raise RuntimeError(f'ingest failed for night {i} ({split})')
+        # EDFs are only scaffolding for the ingest; keep the disk bounded.
+        os.remove(edf_fp)
+        os.remove(xml_fp)
+        written += 1
+        if written % 8 == 0:
+            rate = written / (time.time() - t0)
+            print(
+                f'[prepare] {written} ingested ({i + 1}/{nights} scanned, '
+                f'{rate:.2f} nights/s)',
+                flush=True,
+            )
+    print(f'[prepare] done: {nights} nights under {root}/data in {time.time() - t0:.0f}s', flush=True)
+
+
+def drive(root: str, epochs: int, seed: int, batch_size: int, extra: list[str]) -> dict:
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location('train_cli', os.path.join(REPO, 'scripts', 'train.py'))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    os.environ['WAV2SLEEP_DATA'] = os.path.join(root, 'data')
+    os.environ['WAV2SLEEP_STORAGE'] = os.path.join(root, 'storage')
+    t0 = time.time()
+    final = mod.main(
+        [
+            'name=r4_convergence_drive',
+            'datasets=mesa',
+            'inputs=cardiorespiratory/all',
+            f'seed={seed}',
+            f'epochs={epochs}',
+            f'batch_size={batch_size}',
+            f'target_batch_size={batch_size}',
+            'training/scheduler=decay',  # ReduceLROnPlateau role (name: plateau)
+            'training.ema.enabled=true',
+            'training.ema.decay=0.999',
+            'training.ema.start_step=50',
+            'training.val_batch_size=8',
+            'training.test_batch_size=8',
+            'test=true',
+            'restore_best=true',
+            'precision=bfloat16',
+            'input_transport=q8',
+            'num_cpus=1',
+            *extra,
+        ]
+    )
+    final['drive_wall_seconds'] = round(time.time() - t0, 1)
+    return final
+
+
+def collect(root: str, final: dict, out_dir: str) -> None:
+    """Copy the run's evidence into the repo (runs/ itself is gitignored)."""
+    import glob
+
+    import numpy as np
+
+    os.makedirs(out_dir, exist_ok=True)
+    run_dirs = sorted(glob.glob(os.path.join(root, 'storage', 'logs', 'r4_convergence_drive', '*', '*')))
+    run_dir = run_dirs[-1]
+    for name in ('metrics.jsonl', 'config.yaml'):
+        src = os.path.join(run_dir, name)
+        if os.path.exists(src):
+            shutil.copy(src, os.path.join(out_dir, name))
+
+    # Re-score the exported best checkpoint through the PUBLIC api on the
+    # held-out test nights: the deployment artifact, not the in-process
+    # state, is what the kappa table certifies.
+    from wav2sleep_tpu.api import load_model, predict_on_folder
+    from wav2sleep_tpu.settings import IGNORE_LABEL
+    from wav2sleep_tpu.stats import cohens_kappa
+
+    model = load_model(os.path.join(run_dir, 'model'))
+    test_folder = os.path.join(root, 'data', 'mesa', 'test')
+    test_fps = sorted(glob.glob(os.path.join(test_folder, '*.parquet')))
+    preds, labels = predict_on_folder(
+        test_folder,
+        os.path.join(root, 'storage', 'drive_preds'),
+        model=model,
+        preprocess=False,  # the corpus is already grid-resampled parquet
+        return_tensors=True,
+        overwrite=True,
+    )
+    n_classes = model.num_classes
+    cmat = np.zeros((n_classes, n_classes), np.int64)
+    p = np.asarray(preds).reshape(-1).astype(int)
+    t = np.asarray(labels).reshape(-1).astype(int)
+    keep = t != IGNORE_LABEL
+    np.add.at(cmat, (t[keep], p[keep]), 1)
+    acc = float(np.trace(cmat) / max(cmat.sum(), 1))
+    kappa = float(cohens_kappa(cmat, n_classes))
+    summary = {
+        'final_metrics': final,
+        'exported_checkpoint_test': {
+            'nights': len(test_fps),
+            'scored_epochs': int(keep.sum()),
+            'accuracy': round(acc, 5),
+            'kappa': round(kappa, 5),
+            'confusion_matrix': cmat.tolist(),
+        },
+        'run_dir': run_dir,
+    }
+    with open(os.path.join(out_dir, 'summary.json'), 'w') as f:
+        json.dump(summary, f, indent=2)
+    print(json.dumps(summary['exported_checkpoint_test']), flush=True)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument('--root', default=os.path.join(REPO, '.cache', 'convergence_drive'))
+    ap.add_argument('--nights', type=int, default=128)
+    ap.add_argument('--hours', type=float, default=10.0)
+    ap.add_argument('--epochs', type=int, default=60)
+    ap.add_argument('--batch-size', type=int, default=4)
+    ap.add_argument('--seed', type=int, default=0)
+    ap.add_argument('--prepare', action='store_true', help='corpus phase only (CPU)')
+    ap.add_argument(
+        '--out',
+        default=os.path.join(REPO, 'docs', 'measurements', 'convergence_drive_r4'),
+        help='where the committed evidence lands',
+    )
+    args, extra = ap.parse_known_args()
+    logging.basicConfig(level=logging.INFO)
+    if args.prepare:
+        prepare(args.root, args.nights, args.hours, args.seed)
+        return
+    final = drive(args.root, args.epochs, args.seed, args.batch_size, extra)
+    print('FINAL', json.dumps(final), flush=True)
+    collect(args.root, final, args.out)
+
+
+if __name__ == '__main__':
+    main()

@@ -51,6 +51,13 @@ def main() -> None:
         help='training input transport: lossless ships signals at compute '
         'precision; q8 ships mu-law int8 codes decoded on device',
     )
+    parser.add_argument(
+        '--signals',
+        default='cardio',
+        choices=('cardio', 'eog'),
+        help='released-variant signal set (eog = wav2sleep-eog: EOG-L/R, '
+        '5-class, 4096 samples/epoch -> the deepest 10-block encoders)',
+    )
     parser.add_argument('--k', type=int, default=5, help='chained steps for the marginal timing (>= 2)')
     parser.add_argument('--reps', type=int, default=3, help='timing repetitions; median reported')
     args = parser.parse_args()
@@ -68,9 +75,10 @@ def main() -> None:
     from wav2sleep_tpu.train.scheduler import exp_warmup_schedule
     from wav2sleep_tpu.train.step import init_train_state, make_optimizer, make_train_step
 
-    model, _ = _flagship_model(feature_dim=args.feature_dim)
+    model, _ = _flagship_model(feature_dim=args.feature_dim, variant=args.signals)
+    n_classes = {'cardio': 4, 'eog': 5}[args.signals]
     B, S = args.batch, args.epochs_per_night
-    raw_x, y = _example_batch(B=B, S=S)
+    raw_x, y = _example_batch(B=B, S=S, variant=args.signals)
     x = raw_x
     compute_dtype = jnp.bfloat16 if args.precision == 'bfloat16' else None
     if args.transport == 'q8':
@@ -86,11 +94,13 @@ def main() -> None:
     state = init_train_state(model, tx, x, jax.random.PRNGKey(0), ema=True)
     masker = SignalMasker(
         dropouts={'ABD': 0.7, 'THX': 0.7, 'ECG': 0.5, 'PPG': 0.1}, backups=['ECG', 'PPG']
+    ) if args.signals == 'cardio' else SignalMasker(
+        dropouts={'EOG-L': 0.3, 'EOG-R': 0.3}, backups=['EOG-L']
     )
     train_step = make_train_step(
         model,
         tx,
-        num_classes=4,
+        num_classes=n_classes,
         masker=masker,
         flip_polarity=True,
         ema_decay=0.9999,
@@ -193,7 +203,7 @@ def main() -> None:
 
     out = {
         'metric': (
-            f'train step (B={B}, S={S}, 4 modalities, fd={args.feature_dim}, '
+            f'train step (B={B}, S={S}, {args.signals} signals, fd={args.feature_dim}, '
             f'{args.precision}, transport={args.transport})'
         ),
         'compute_ms_per_step': round(compute_s * 1000, 1),
