@@ -316,6 +316,25 @@ def test_eval_matrix_one_pass(corpus, tmp_path, monkeypatch):
             assert np.isclose(metrics[key], np.mean(losses), rtol=0, atol=1e-7)
 
 
+def test_eval_fetch_every_is_metric_invariant(corpus, tmp_path):
+    """The deferred eval drain (eval_fetch_every > 1) is a scheduling
+    change only: every metric must equal the round-3 per-batch-fetch
+    protocol bit-for-bit (drain order never reorders the cmat += / loss
+    accumulation)."""
+    trainer = make_trainer(corpus, tmp_path / 'run_evaldrain', epochs=1)
+    trainer._ensure_state(next(iter(trainer.datamodule.train_loader(0))))
+
+    trainer.eval_fetch_every = 1
+    per_batch = trainer.evaluate('val', epoch=0)
+    trainer.eval_fetch_every = 16
+    deferred = trainer.evaluate('val', epoch=0)
+
+    assert per_batch.keys() == deferred.keys()
+    for k in per_batch:
+        a, b = per_batch[k], deferred[k]
+        assert np.array_equal(np.asarray(a), np.asarray(b)), k
+
+
 def test_set_lr_scale_is_functional(corpus, tmp_path):
     """Plateau LR rescale rebuilds the optimizer state functionally and the
     scale survives a checkpoint round-trip."""
