@@ -83,30 +83,55 @@ def main() -> None:
     trainer.eval_fetch_every = 16
     trainer.evaluate('val', epoch=0)
 
-    def timed(fetch_every: int) -> float:
+    def timed(fetch_every: int, transport: str | None = None) -> float:
         trainer.eval_fetch_every = fetch_every
+        trainer.eval_transport = transport
         t0 = time.time()
         trainer.evaluate('val', epoch=0)
+        trainer.eval_transport = None
         return time.time() - t0
 
     import numpy as np
 
-    per_batch, deferred = [], []
+    # Transport-arm warmups (compile the decode graphs untimed) + metric
+    # deltas vs the lossless pass (same params, same batches: the delta IS
+    # the transport's quantization, nothing else).
+    def metrics(transport):
+        trainer.eval_transport = transport
+        out = trainer.evaluate('val', epoch=0)
+        trainer.eval_transport = None
+        return out
+
+    base = metrics(None)
+    deltas = {
+        t: max(abs(m[k] - base[k]) for k in base)
+        for t, m in (('q16', metrics('q16')), ('q8', metrics('q8')))
+    }
+
+    arms: dict[str, list[float]] = {k: [] for k in ('per_batch', 'deferred', 'q16', 'q8')}
     for _ in range(args.reps):
         # Alternate orders so link drift cancels.
-        per_batch.append(timed(1))
-        deferred.append(timed(16))
+        arms['per_batch'].append(timed(1))
+        arms['deferred'].append(timed(16))
+        arms['q16'].append(timed(16, 'q16'))
+        arms['q8'].append(timed(16, 'q8'))
     n_val = len(dm._val_fps_combined)
+    med = {k: float(np.median(v)) for k, v in arms.items()}
     out = {
         'metric': 'full val eval-matrix wall seconds (combined + per-dataset + subsets)',
         'val_nights': n_val,
         'val_batch_size': args.val_batch_size,
         'precision': args.precision,
-        'per_batch_fetch_s': round(float(np.median(per_batch)), 2),
-        'deferred_drain_s': round(float(np.median(deferred)), 2),
-        'speedup': round(float(np.median(per_batch)) / float(np.median(deferred)), 3),
-        'per_batch_all_s': [round(v, 2) for v in per_batch],
-        'deferred_all_s': [round(v, 2) for v in deferred],
+        'per_batch_fetch_s': round(med['per_batch'], 2),
+        'deferred_drain_s': round(med['deferred'], 2),
+        'q16_transport_s': round(med['q16'], 2),
+        'q8_transport_s': round(med['q8'], 2),
+        'speedup_drain': round(med['per_batch'] / med['deferred'], 3),
+        'speedup_q16': round(med['deferred'] / med['q16'], 3),
+        'speedup_q8': round(med['deferred'] / med['q8'], 3),
+        'max_abs_loss_delta_q16': float(f'{deltas["q16"]:.3g}'),
+        'max_abs_loss_delta_q8': float(f'{deltas["q8"]:.3g}'),
+        **{f'{k}_all_s': [round(v, 2) for v in vs] for k, vs in arms.items()},
     }
     print(json.dumps(out))
 

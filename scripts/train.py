@@ -168,6 +168,7 @@ def main(argv: list[str] | None = None) -> dict:
         reset_early_stopping=tcfg['reset_early_stopping'],
         precision=cfg['precision'],
         input_transport=cfg.get('input_transport'),
+        eval_transport=cfg.get('eval_transport'),
         seed=cfg['seed'],
         log_dir=log_dir,
         mesh=mesh,

@@ -163,3 +163,83 @@ def test_mixed_finite_row_rejected():
     # Whole-row non-finite stays a valid missing channel.
     codes, peak, present = q8.encode_row_numpy(np.full(4096, -np.inf, np.float32))
     assert not present and peak == 0.0 and (codes == 0).all()
+
+
+def test_q16_roundtrip_error_bound():
+    """Linear int16 codes reconstruct within half a quantization step
+    (peak/32767/2) everywhere — ~40x tighter than bf16 at full scale and
+    with no mu-law coarsening of large amplitudes."""
+    rng = np.random.default_rng(6)
+    x = {'ECG': np.stack([_rows(rng, 8192) for _ in range(3)])}
+    enc = q8.encode_batch_q16(x)
+    codes, peaks, present = enc['ECG']
+    assert codes.dtype == np.int16 and present.all()
+    assert np.abs(codes).max() <= 32767
+    dec = np.asarray(q8.dequant_q16(*(jnp.asarray(v) for v in enc['ECG'])))
+    step = peaks[:, None] / 32767.0
+    assert np.all(np.abs(dec - x['ECG']) <= 0.5 * step + 1e-7)
+    # The peak sample itself is exact (codes clip at +/-32767, never wrap).
+    for b in range(3):
+        i = np.abs(x['ECG'][b]).argmax()
+        assert dec[b, i] == pytest.approx(x['ECG'][b, i], rel=1e-6)
+
+
+def test_q16_sentinel_mixed_and_slot_pooling():
+    rng = np.random.default_rng(7)
+    x = {'THX': np.stack([_rows(rng, 2048), np.full(2048, np.inf, np.float32)])}
+    slot = {}
+    enc = q8.encode_batch_q16(x, slot=slot)
+    assert q8.is_encoded_batch(enc)
+    assert enc['THX'][2].tolist() == [True, False]
+    assert (enc['THX'][0][1] == 0).all() and enc['THX'][1][1] == 0.0
+    dec = q8.dequant_batch({k: tuple(map(jnp.asarray, v)) for k, v in enc.items()})
+    assert np.all(np.asarray(dec['THX'])[1] == -np.inf)
+    assert np.isfinite(np.asarray(dec['THX'])[0]).all()
+    enc2 = q8.encode_batch_q16(x, slot=slot)
+    assert enc['THX'][0] is enc2['THX'][0]  # pooled buffers reused
+    bad = x['THX'][:1].copy()
+    bad[0, 100:200] = -np.inf
+    with pytest.raises(ValueError, match='mixes finite'):
+        q8.encode_batch_q16({'THX': bad})
+
+
+def test_dequant_batch_dispatches_on_code_dtype():
+    """One encoded batch may mix rungs per signal (int8 mu-law / int16
+    linear); dequant_batch dispatches on the static code dtype."""
+    rng = np.random.default_rng(8)
+    x8 = np.stack([_rows(rng, 1024)])
+    x16 = np.stack([_rows(rng, 1024)])
+    enc = {**q8.encode_batch({'ECG': x8}), **q8.encode_batch_q16({'THX': x16})}
+    dec = q8.dequant_batch({k: tuple(map(jnp.asarray, v)) for k, v in enc.items()})
+    pk8 = float(enc['ECG'][1][0])
+    step8 = (np.log(256.0) / 127.0) * (np.abs(x8[0]) + pk8 / 255.0)
+    assert np.all(np.abs(np.asarray(dec['ECG'])[0] - x8[0]) <= 0.6 * step8 + 1e-7)
+    assert np.abs(np.asarray(dec['THX'])[0] - x16[0]).max() <= float(enc['THX'][1][0]) / 32767.0
+
+
+def test_evaluate_with_eval_transport(tmp_path):
+    """The full eval matrix under eval_transport: q16 losses match the
+    lossless pass to ~1e-3, q8 runs finite; both take the pooled
+    transfer-guarded ring."""
+    from test_trainer_smoke import make_trainer, write_corpus
+
+    root = tmp_path / 'corpus'
+    write_corpus(root, nights_per_split=2)
+    trainer = make_trainer(root, str(tmp_path / 'run'), epochs=1)
+    trainer._ensure_state(next(iter(trainer.datamodule.train_loader(0))))
+
+    lossless = trainer.evaluate('val', 0)
+    trainer.eval_transport = 'q16'
+    q16 = trainer.evaluate('val', 0)
+    trainer.eval_transport = 'q8'
+    q8m = trainer.evaluate('val', 0)
+
+    assert lossless.keys() == q16.keys() == q8m.keys()
+    for k, v in lossless.items():
+        assert q16[k] == pytest.approx(v, abs=2e-3), k
+        assert np.isfinite(q8m[k]), k
+    # Transport slots live namespaced inside the shared staging ring.
+    assert any(('eval', 'q16') in slot for slot in trainer._ring_pool)
+
+    with pytest.raises(ValueError, match='eval_transport'):
+        make_trainer(root, str(tmp_path / 'run2'), eval_transport='bogus')

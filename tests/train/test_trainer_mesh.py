@@ -79,6 +79,25 @@ def test_fit_on_mesh_q8_transport(corpus, tmp_path):  # noqa: F811
     np.testing.assert_allclose(final_q8['val_loss'], final_plain['val_loss'], rtol=0.15)
 
 
+def test_eval_transport_on_mesh(corpus, tmp_path):  # noqa: F811
+    """eval_transport on a mesh: the encoded eval batch (int16/int8 codes
+    [B,T] + per-row peaks/present) rides the same data-axis prefix
+    shardings as the lossless batch; q16 metrics match lossless ~1e-3."""
+    meshed = make_trainer(
+        corpus, tmp_path / 'mesh', mesh=_mesh4(), epochs=1, masker=None, flip_polarity=False
+    )
+    meshed._ensure_state(next(iter(meshed.datamodule.train_loader(0))))
+    lossless = meshed.evaluate('val', epoch=0)
+    meshed.eval_transport = 'q16'
+    q16 = meshed.evaluate('val', epoch=0)
+    meshed.eval_transport = 'q8'
+    q8m = meshed.evaluate('val', epoch=0)
+    assert lossless.keys() == q16.keys() == q8m.keys()
+    for k, v in lossless.items():
+        assert q16[k] == pytest.approx(v, abs=2e-3), k
+        assert np.isfinite(q8m[k]), k
+
+
 def test_checkpoint_roundtrip_on_mesh(corpus, tmp_path):  # noqa: F811
     run = tmp_path / 'run'
     t1 = make_trainer(corpus, run, epochs=1, mesh=_mesh4(), masker=None, flip_polarity=False)

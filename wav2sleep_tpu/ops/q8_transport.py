@@ -1,4 +1,4 @@
-"""mu-law int8 training input transport.
+"""Quantized input transports: mu-law int8 (train) and linear int16 (eval).
 
 The training step is transfer-bound on hosts where the device link is slow
 relative to compute (see docs/design.md "Training performance"): at B=4 the
@@ -140,6 +140,56 @@ def encode_batch(
     return out
 
 
+_Q16_CODES = 32767
+
+
+def encode_batch_q16(
+    x: dict[str, np.ndarray],
+    slot: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]] | None = None,
+) -> dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]]:
+    """Linear int16 transport: codes = round(x / peak * 32767) per row.
+
+    Half the bytes of f32 at ~peak/65534 absolute error (the z-scored
+    parquet rows peak at a few sigma, so ~1e-4) — near-lossless where the
+    mu-law q8 rung is a measured quality tax. Same pytree contract and
+    -inf whole-row sentinel rules as ``encode_batch``; same ``slot``
+    buffer pooling. Encoding is one vectorized numpy pass over [B, T]
+    (no native kernel needed: no per-sample transcendentals).
+    """
+    out: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
+    if slot is None:
+        slot = {}
+    for name, arr in x.items():
+        arr = np.ascontiguousarray(arr, np.float32)
+        B = arr.shape[0]
+        bufs = slot.get(name)
+        if bufs is None or bufs[0].shape != arr.shape:
+            bufs = (
+                np.empty(arr.shape, np.int16),
+                np.empty((B,), np.float32),
+                np.empty((B,), bool),
+            )
+            slot[name] = bufs
+        codes, peaks, present = bufs
+        finite = np.isfinite(arr)
+        row_all = finite.all(axis=1)
+        row_any = finite.any(axis=1)
+        if (row_any & ~row_all).any():
+            raise ValueError(
+                'q16 transport row mixes finite data with non-finite '
+                'samples; the -inf sentinel is only supported for whole rows.'
+            )
+        np.copyto(present, row_all)
+        peaks[:] = np.abs(np.where(finite, arr, 0.0)).max(axis=1)
+        # f32 peak * (32767/peak) can exceed 32767 by a ULP; an unclipped
+        # rint would wrap the int16 to -32768 (full-scale sign flip).
+        scale = np.float32(_Q16_CODES) / np.maximum(peaks, np.float32(1e-30))
+        q = np.clip(np.rint(arr * scale[:, None]), -_Q16_CODES, _Q16_CODES)
+        codes[:] = np.where(row_all[:, None], q, 0.0).astype(np.int16)
+        out[name] = (codes, peaks, present)
+    return out
+
+
 def dequant_q8(codes, peak, present):
     """Device-side decode (jittable). Missing rows decode to -inf columns
     (the cross-layer missing-modality sentinel)."""
@@ -151,9 +201,27 @@ def dequant_q8(codes, peak, present):
     return jnp.where(present[:, None], x, -jnp.inf)
 
 
+def dequant_q16(codes, peak, present):
+    """Device-side linear int16 decode (jittable); -inf for missing rows."""
+    import jax.numpy as jnp
+
+    x = codes.astype(jnp.float32) * (peak * (1.0 / _Q16_CODES))[:, None]
+    return jnp.where(present[:, None], x, -jnp.inf)
+
+
 def dequant_batch(x: dict) -> dict:
-    """Decode an encoded batch pytree back to ``{signal: f32 [B, T]}``."""
-    return {k: dequant_q8(*v) for k, v in x.items()}
+    """Decode an encoded batch pytree back to ``{signal: f32 [B, T]}``.
+
+    Dispatches per signal on the (static under trace) code dtype: int8 is
+    the mu-law rung, int16 the linear rung.
+    """
+
+    def _one(codes, peak, present):
+        if codes.dtype == 'int8':
+            return dequant_q8(codes, peak, present)
+        return dequant_q16(codes, peak, present)
+
+    return {k: _one(*v) for k, v in x.items()}
 
 
 def is_encoded_batch(x: dict) -> bool:

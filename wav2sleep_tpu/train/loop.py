@@ -185,11 +185,26 @@ class Trainer:
     # instead of serializing one batch at a time behind a per-batch fetch.
     # 1 restores the round-3 per-batch-fetch behavior (the A/B baseline).
     eval_fetch_every: int = 16
+    # Eval INPUT transport: None ships the loader's f32 rows (lossless —
+    # eval feeds model selection and the reported kappa, so this is the
+    # default); 'q16' ships linear int16 codes + per-(night,signal) peaks
+    # (half the bytes, ~1e-4 absolute reconstruction error on z-scored
+    # rows); 'q8' reuses the mu-law train rung (quarter the bytes, the
+    # measured q8 quality tax — docs/measurements/q8_quality_r4.json).
+    # Decoded on device inside the jitted eval step. predict()/export are
+    # always lossless.
+    eval_transport: Optional[str] = None
 
     state: TrainState = field(default=None, repr=False)
     current_epoch: int = 0
 
     def __post_init__(self):
+        if self.input_transport not in (None, 'q8'):
+            raise ValueError(f'unknown input_transport {self.input_transport!r} (None or "q8")')
+        if self.eval_transport not in (None, 'q16', 'q8'):
+            raise ValueError(
+                f'unknown eval_transport {self.eval_transport!r} (None, "q16" or "q8")'
+            )
         self.metrics_logger = MetricsLogger(self.log_dir, self.num_classes)
         self.early_stopping = EarlyStopping(patience=self.early_stopping_patience)
         self.plateau = (
@@ -610,15 +625,28 @@ class Trainer:
         # could not stage batch n+2 until every subset of batch n had been
         # fetched): dispatch every subset's eval on the current batch
         # (async), stage the next batch's H2D transfer under that compute,
-        # and only fetch every ``eval_fetch_every`` batches. Eval batches
-        # are fresh loader arrays (no pooled host slots), so there is no
-        # reuse guard to honor; pending results are tiny (loss scalar +
-        # [C,C] cmat + argmax preds per subset).
+        # and only fetch every ``eval_fetch_every`` batches. Lossless eval
+        # batches are fresh loader arrays (no pooled host slots, no reuse
+        # guard); under ``eval_transport`` the codes live in pooled ring
+        # slots, so reuse takes the same block-on-prior-transfer guard as
+        # the train ring (slots are namespaced per transport, so a trainer
+        # whose TRAIN transport also pools the ring never collides).
+        # Pending results are tiny (loss scalar + [C,C] cmat + preds).
         def stage(nxt):
             if nxt is None:
                 return None
             x, y, _ = self._pad_batch(*nxt, self._batch_target(nxt[1].shape[0], batch_size))
-            return self._device_batch(x, y), x, y.shape[0]
+            slot_idx = None
+            if self.eval_transport is not None:
+                from ..ops.q8_transport import encode_batch, encode_batch_q16
+
+                enc = {'q16': encode_batch_q16, 'q8': encode_batch}[self.eval_transport]
+                ring, slot_idx = self._ring_slot()
+                x = enc(x, slot=ring.setdefault(('eval', self.eval_transport), {}))
+            dev = self._device_batch(x, y)
+            if slot_idx is not None:
+                self._ring_inflight[slot_idx] = dev
+            return dev, x, y.shape[0]
 
         pending: list = []
 

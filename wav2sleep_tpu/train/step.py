@@ -232,6 +232,12 @@ def make_eval_step(model, num_classes: int, family: str = 'wav2sleep') -> Callab
 
     def eval_step(params, batch_stats, batch, present=None):
         x, y = batch
+        if is_encoded_batch(x):
+            # Opt-in eval input transport (Trainer.eval_transport): linear
+            # int16 (near-lossless) or mu-law int8 codes, decoded on device
+            # before the forward — same -inf sentinel reconstruction as the
+            # train step's q8 path.
+            x = dequant_batch(x)
         variables = {'params': params}
         if batch_stats is not None:
             variables['batch_stats'] = batch_stats
