@@ -147,12 +147,13 @@ def main():
     parser.add_argument(
         '--pipeline',
         default='q8',
-        choices=['q8', 'q16', 'raw', 'f32'],
+        choices=['q8', 'q16', 'q4', 'raw', 'f32'],
         help=(
             'q16: host fused resample to grid-aligned int16, device affine+model '
             '(no gather); q8: same but mu-law int8 transport (half the bytes, '
-            '~bf16-grade precision); raw: ship raw int16 + resample on device; '
-            'f32: host decode/resample to float32'
+            '~bf16-grade precision); q4: packed 4-bit mu-law (half of q8 again; '
+            'measured quality tax, see docs/design.md); raw: ship raw int16 + '
+            'resample on device; f32: host decode/resample to float32'
         ),
     )
     parser.add_argument(
@@ -193,6 +194,7 @@ def main():
     from __graft_entry__ import _flagship_model
     from wav2sleep_tpu.pipeline import (
         StreamingPipeline,
+        StreamingPipelineQ4,
         StreamingPipelineQ8,
         StreamingPipelineQ16,
         StreamingPipelineRaw,
@@ -282,8 +284,12 @@ def main():
         lambda sh: jnp.asarray(rng.normal(size=sh.shape, scale=0.05), dtype), var_shapes
     )
 
-    if args.pipeline in ('q16', 'q8'):
-        cls = StreamingPipelineQ16 if args.pipeline == 'q16' else StreamingPipelineQ8
+    if args.pipeline in ('q16', 'q8', 'q4'):
+        cls = {
+            'q16': StreamingPipelineQ16,
+            'q8': StreamingPipelineQ8,
+            'q4': StreamingPipelineQ4,
+        }[args.pipeline]
         pipe = cls(
             model,
             variables,
@@ -359,6 +365,11 @@ def main():
         'pipeline': args.pipeline,
         'source_rates': args.source_rates,
         'precision': args.precision,
+        # Structured copies of the metric-string facts so consumers
+        # (scripts/readme_bench.py) never have to parse or assume them.
+        'hours': args.hours,
+        'signals': args.signals,
+        'modalities': sig_desc,
         'passes_s': [round(e, 3) for e in elapsed],
         **link,
     }

@@ -85,7 +85,14 @@ def write_nsrr_xml(fp: str, stages) -> None:
 
 
 def prepare(root: str, nights: int, hours: float, seed: int) -> None:
-    """Synth EDF+XML pairs -> real ingest -> split-partitioned parquet."""
+    """Synth EDF+XML pairs -> real ingest -> split-partitioned parquet.
+
+    Nights are seeded per-index (seed, i) so the corpus is resume-safe.
+    The committed r4 drive (docs/measurements/convergence_drive_r4/) was
+    generated before this change with a single sequential stream, in one
+    uninterrupted run; regenerating with the current code yields a
+    different (equally realistic) corpus.
+    """
     import numpy as np
 
     from wav2sleep_tpu.data.synth import synth_night, write_night_edf
@@ -97,14 +104,18 @@ def prepare(root: str, nights: int, hours: float, seed: int) -> None:
     splits = ['train'] * n_train + ['val'] * n_val + ['test'] * n_test
     edf_dir = os.path.join(root, 'edfs')
     os.makedirs(edf_dir, exist_ok=True)
-    rng = np.random.default_rng(seed)
     t0 = time.time()
     written = 0
     for i, split in enumerate(splits):
         out_fp = os.path.join(root, 'data', 'mesa', split, f'night{i:04d}.parquet')
         if os.path.exists(out_fp):
             continue
-        signals, stages = synth_night(rng, hours)
+        # Per-night RNG keyed on (seed, i): an interrupted --prepare that
+        # resumes (skipping existing parquets) produces bit-identical
+        # nights to a fresh uninterrupted run of the same seed. A single
+        # shared stream would desynchronize on resume — skipped nights
+        # would not advance it.
+        signals, stages = synth_night(np.random.default_rng((seed, i)), hours)
         edf_fp = os.path.join(edf_dir, f'night{i:04d}.edf')
         xml_fp = os.path.join(edf_dir, f'night{i:04d}-nsrr.xml')
         write_night_edf(edf_fp, signals)

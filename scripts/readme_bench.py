@@ -45,16 +45,27 @@ def render(bench: dict, source: str) -> str:
     value = bench['value']
     vs = bench.get('vs_baseline')
     pieces = [f'**{value:,.0f} recordings/hour/chip**']
+    # State only facts the capture actually carries — no .get() defaults
+    # that could claim a config the run didn't use (an --signals eog or
+    # non-10h capture must not regenerate a "4 modalities, 10 h" cell).
+    facts = []
     if vs:
-        pieces.append(f'({vs:g}× the 625/hr/chip target;')
-    else:
-        pieces.append('(')
-    pieces.append(
-        f'{bench.get("pipeline", "q8")} transport, '
-        f'{bench.get("precision", "bfloat16")}, '
-        f'{bench.get("source_rates", "offgrid")} NSRR-realistic source rates, '
-        'one v5e; 10 h nights, 4 modalities)'
-    )
+        facts.append(f'{vs:g}× the 625/hr/chip target')
+    if bench.get('pipeline'):
+        facts.append(f'{bench["pipeline"]} transport')
+    if bench.get('precision'):
+        facts.append(bench['precision'])
+    if bench.get('source_rates'):
+        facts.append(f'{bench["source_rates"]} source rates')
+    night = []
+    if bench.get('hours') is not None:
+        night.append(f'{bench["hours"]:g} h nights')
+    if bench.get('modalities'):
+        night.append(bench['modalities'])
+    elif bench.get('signals'):
+        night.append(f'{bench["signals"]} signal set')
+    facts.append('one v5e' + ('; ' + ', '.join(night) if night else ''))
+    pieces.append('(' + '; '.join(facts) + ')')
     link = bench.get('link_h2d_MBps')
     if link:
         pieces.append(

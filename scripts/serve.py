@@ -39,7 +39,7 @@ def build_parser() -> argparse.ArgumentParser:
         help='Checkpoint folder or hf:// repo (default: released cardio-respiratory model).',
     )
     parser.add_argument('--signals', default=None, help='Comma-separated subset of the model signals.')
-    parser.add_argument('--transport', default='q16', choices=['q8', 'q16', 'raw', 'f32'])
+    parser.add_argument('--transport', default='q16', choices=['q8', 'q16', 'q4', 'raw', 'f32'])
     parser.add_argument('--precision', default='bfloat16', choices=['float32', 'bfloat16'])
     parser.add_argument('--batch-size', type=int, default=8)
     parser.add_argument('--max-length-hours', type=float, default=10.0)
@@ -56,6 +56,7 @@ def build_parser() -> argparse.ArgumentParser:
 def make_pipeline(model, transport: str, signals: list[str], args, mesh=None):
     from wav2sleep_tpu.pipeline import (
         StreamingPipeline,
+        StreamingPipelineQ4,
         StreamingPipelineQ8,
         StreamingPipelineQ16,
         StreamingPipelineRaw,
@@ -70,8 +71,10 @@ def make_pipeline(model, transport: str, signals: list[str], args, mesh=None):
         return StreamingPipelineQ8(model.module, model.variables, signals, mesh=mesh, **common)
     if transport == 'q16':
         return StreamingPipelineQ16(model.module, model.variables, signals, mesh=mesh, **common)
+    if transport == 'q4':
+        return StreamingPipelineQ4(model.module, model.variables, signals, mesh=mesh, **common)
     if mesh is not None:
-        raise SystemExit('--data-parallel requires --transport q8 or q16')
+        raise SystemExit('--data-parallel requires --transport q8, q16 or q4')
     if transport == 'raw':
         return StreamingPipelineRaw(model.module, model.variables, signals, **common)
     return StreamingPipeline(model.module, model.variables, signals, **common)

@@ -295,6 +295,152 @@ def test_q8_pipeline_transport(tmp_path):
     assert agreement >= 0.8, agreement
 
 
+def test_q4_pipeline_transport(tmp_path):
+    """Packed 4-bit mu-law rung: native/numpy host paths bit-identical,
+    the LUT+pack round-trips to the documented 7-step mu-law levels, the
+    reconstruction error is bounded by the q4 step, the jitted device
+    unpack reproduces the host decode exactly (logit parity vs the model
+    applied to the host-reconstructed grid), and the streaming pipeline's
+    batching/meta plumbing matches a direct single-batch launch bit-for-bit
+    including a missing-modality row. Argmax agreement vs f32 is NOT
+    asserted tightly: at ~25% input rms error a random-init model's
+    near-tie margins flip freely (q8's 1.3% error is why its test can
+    assert 0.8); the decision-grade q4 quality number is measured on
+    hardware by scripts/q8_quality.py."""
+    import jax
+    import jax.numpy as jnp
+
+    from wav2sleep_tpu import models as jm
+    from wav2sleep_tpu.pipeline import (
+        MU_LAW,
+        NightDecoder,
+        Q8_META_DTYPE,
+        Q4NightExtractor,
+        StreamingPipeline,
+        StreamingPipelineQ4,
+        _masked_zscore,
+        _q4_requant_lut,
+        make_streaming_forward_q4,
+    )
+
+    hours = 6 / 120
+    rng = np.random.default_rng(7)
+    fps = []
+    for i in range(3):
+        sigs = {'ECG': np.sin(np.arange(int(125 * 30) * 6) / 9.0) * 0.8 + rng.normal(size=int(125 * 30) * 6) * 0.1}
+        if i != 1:
+            sigs['THOR RES'] = rng.normal(size=int(32 * 30) * 6) * 0.4
+        fp = str(tmp_path / f'{i}.edf')
+        write_edf(
+            fp, sigs,
+            {k: (125.0 if k == 'ECG' else 32.0) for k in sigs},
+            physical_ranges={k: (-3, 3) for k in sigs},
+            record_duration=30.0,
+        )
+        fps.append(fp)
+
+    S = 6
+    cols = ('ECG', 'THX')
+    n_grid = {c: COLS_TO_SAMPLES_PER_EPOCH[c] * S for c in cols}
+    outs = {}
+    for use_native in (True, False):
+        ext = Q4NightExtractor(cols, n_grid, max_length_hours=hours, use_native=use_native)
+        q = {c: np.zeros((1, (n_grid[c] + 1) // 2), np.uint8) for c in cols}
+        meta = {c: np.zeros(1, dtype=Q8_META_DTYPE) for c in cols}
+        ext.extract_into(fps[0], q, meta, 0)
+        outs[use_native] = (q, meta)
+    for c in cols:
+        np.testing.assert_array_equal(outs[True][0][c], outs[False][0][c])
+        assert outs[True][1][c][0] == outs[False][1][c][0]
+
+    # LUT sanity: magnitude 0 maps to 0, full-scale 127 maps to nibble 7,
+    # negatives carry the 0x8 sign bit, and every level decodes within half
+    # a q4 step of its q8 source level.
+    lut = _q4_requant_lut()
+    assert lut[np.uint8(0)] == 0 and (lut[np.uint8(127)] & 7) == 7
+    assert lut[np.array(-127, np.int8).view(np.uint8)] == (0x8 | 7)
+
+    # Reconstruction error vs the host-decoded f32 grid: each mu-law q4
+    # step multiplies amplitude by 256^(1/7) ~ 2.2, so per-sample relative
+    # error reaches ~38%; RMS over a full signal lands well under that.
+    dec = NightDecoder(cols, max_length_hours=hours)
+    ref = {c: np.empty(n_grid[c], np.float32) for c in cols}
+    dec.decode_into(fps[0], ref)
+    q, meta = outs[True]
+    for c in cols:
+        a, b, vmax, nv, n_pad, present = meta[c][0]
+        assert present
+        packed = q[c][0].astype(np.int32)
+        nib = np.stack([packed & 0xF, packed >> 4], axis=-1).reshape(-1)[: n_grid[c]]
+        mag = (nib & 7).astype(np.float64)
+        sgn = 1.0 - 2.0 * (nib >> 3)
+        dig = sgn * np.expm1(mag * np.log1p(MU_LAW) / 7.0) * vmax / MU_LAW
+        rec = (dig * a + b).astype(np.float32)
+        rec[nv:] = 0.0
+        rms_err = np.sqrt(np.mean(np.square(rec - ref[c])))
+        rms_sig = np.sqrt(np.mean(np.square(ref[c])))
+        assert rms_err < 0.30 * max(rms_sig, 1e-9), (c, rms_err, rms_sig)
+
+    model = jm.Wav2Sleep(
+        signal_encoders=jm.SignalEncoders(
+            signal_map=jm.as_signal_map({'ECG': 'ECG', 'THX': 'THX'}),
+            feature_dim=16, activation='gelu', norm='instance', chunk_causal=False,
+            initial_channels=4, max_channels=8,
+        ),
+        epoch_mixer=jm.MultiModalAttentionEmbedder(feature_dim=16, layers=1, dim_ff=32, nhead=4, dropout=0.0),
+        sequence_mixer=jm.SequenceCNN(feature_dim=16, num_layers=1, kernel_size=3, num_dilations=2, norm='layer', dropout=0.0),
+        num_classes=4,
+    )
+    x0 = {'ECG': np.zeros((1, 1024 * 6), np.float32), 'THX': np.zeros((1, 256 * 6), np.float32)}
+    variables = model.init(jax.random.PRNGKey(0), x0)
+
+    # Device-unpack parity: the jitted q4 forward on the packed codes must
+    # produce the same logits as the model applied to the host-decoded
+    # reconstruction (`rec` above IS the exact decode of those codes, so
+    # any nibble-order / sign-bit / scale bug in the in-graph unpack shows
+    # up here as a large logit gap; the residual tolerance is f32
+    # summation-order noise).
+    fwd_logits = make_streaming_forward_q4(model, n_grid, precision='float32', output='logits')
+    q, meta = outs[True]
+    dev = {c: jnp.asarray(q[c]) for c in cols}
+    vecs = [{c: jnp.asarray(meta[c][f]) for c in cols} for f in Q8_META_DTYPE.names]
+    logits_q4 = np.asarray(fwd_logits(variables, dev, *vecs))
+    x_host = {}
+    for c in cols:
+        a, b, vmax, nv, n_pad, present = meta[c][0]
+        packed = q[c][0].astype(np.int32)
+        nib = np.stack([packed & 0xF, packed >> 4], axis=-1).reshape(-1)[: n_grid[c]]
+        dig = (1.0 - 2.0 * (nib >> 3)) * np.expm1((nib & 7) * np.log1p(MU_LAW) / 7.0) * vmax / MU_LAW
+        v = (dig * a + b).astype(np.float32)
+        v[nv:] = 0.0
+        valid = (np.arange(n_grid[c]) < n_pad)[None, :]
+        x_host[c] = np.asarray(_masked_zscore(jnp.asarray(v[None, :]), jnp.asarray(valid), jnp.float32))
+    logits_host = np.asarray(model.apply(variables, x_host)).astype(np.float32)
+    np.testing.assert_allclose(logits_q4, logits_host, atol=2e-4, rtol=2e-4)
+
+    # End-to-end: the streaming pipeline (slot rotation, row assignment,
+    # per-file slicing, missing-THX present=False row) must match a direct
+    # fill-and-launch of the same batch through the same jitted forward.
+    pipe_q4 = StreamingPipelineQ4(model, variables, list(cols), batch_size=2,
+                                  max_length_hours=hours, precision='float32')
+    out_q4 = dict(pipe_q4.run(fps))
+    ext2 = pipe_q4._make_extractor()
+    bq = {c: np.zeros((2, (n_grid[c] + 1) // 2), np.uint8) for c in cols}
+    bm = {c: np.zeros(2, dtype=Q8_META_DTYPE) for c in cols}
+    for row, fp in enumerate(fps[:2]):
+        ext2.extract_into(fp, bq, bm, row)
+    assert not bm['THX'][1]['present']  # file 1 ships without THOR RES
+    direct = np.asarray(pipe_q4._launch(bq, bm))
+    np.testing.assert_array_equal(out_q4[fps[0]], direct[0])
+    np.testing.assert_array_equal(out_q4[fps[1]], direct[1])
+
+    # Coarse anti-catastrophe floor only (see docstring for why not 0.8).
+    out_f32 = dict(StreamingPipeline(model, variables, list(cols), batch_size=2,
+                                     max_length_hours=hours, precision='float32').run(fps))
+    agreement = np.concatenate([out_f32[fp] == out_q4[fp] for fp in fps]).mean()
+    assert agreement >= 0.3, agreement
+
+
 def test_stream_early_abandon(tmp_path):
     """Dropping the run() generator after one result must release the
     producer thread (stop-aware queue put) so a fresh run() works cleanly."""

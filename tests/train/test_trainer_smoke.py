@@ -335,6 +335,19 @@ def test_eval_fetch_every_is_metric_invariant(corpus, tmp_path):
         assert np.array_equal(np.asarray(a), np.asarray(b)), k
 
 
+def test_eval_releases_staging_ring(corpus, tmp_path):
+    """Under eval_transport the eval loop stages batches through the pooled
+    device ring; after evaluate() returns every ring slot must be released,
+    or the last stage_ring eval batches stay pinned in HBM through
+    checkpointing and the whole next train epoch (~4 x full-batch HBM on
+    the EOG geometry)."""
+    trainer = make_trainer(corpus, tmp_path / 'run_evalring', epochs=1)
+    trainer._ensure_state(next(iter(trainer.datamodule.train_loader(0))))
+    trainer.eval_transport = 'q16'
+    trainer.evaluate('val', epoch=0)
+    assert all(d is None for d in getattr(trainer, '_ring_inflight', []))
+
+
 def test_set_lr_scale_is_functional(corpus, tmp_path):
     """Plateau LR rescale rebuilds the optimizer state functionally and the
     scale survives a checkpoint round-trip."""

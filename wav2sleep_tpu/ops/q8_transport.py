@@ -171,21 +171,34 @@ def encode_batch_q16(
             )
             slot[name] = bufs
         codes, peaks, present = bufs
-        finite = np.isfinite(arr)
+        # Pooled [B, T] scratch (one f32 + one bool per signal): this runs
+        # on the eval staging hot path of a host where fresh large
+        # allocations page-fault at ~12 MB/s, so every full-size temporary
+        # is chained in place through these two buffers.
+        scratch = slot.get(('_scratch16', name))
+        if scratch is None or scratch[0].shape != arr.shape:
+            scratch = (np.empty(arr.shape, np.float32), np.empty(arr.shape, bool))
+            slot[('_scratch16', name)] = scratch
+        f32s, finite = scratch
+        np.isfinite(arr, out=finite)
         row_all = finite.all(axis=1)
-        row_any = finite.any(axis=1)
-        if (row_any & ~row_all).any():
+        if (finite.any(axis=1) & ~row_all).any():
             raise ValueError(
                 'q16 transport row mixes finite data with non-finite '
                 'samples; the -inf sentinel is only supported for whole rows.'
             )
         np.copyto(present, row_all)
-        peaks[:] = np.abs(np.where(finite, arr, 0.0)).max(axis=1)
+        np.abs(arr, out=f32s)
+        peaks[:] = f32s.max(axis=1, where=finite, initial=np.float32(0.0))
         # f32 peak * (32767/peak) can exceed 32767 by a ULP; an unclipped
         # rint would wrap the int16 to -32768 (full-scale sign flip).
         scale = np.float32(_Q16_CODES) / np.maximum(peaks, np.float32(1e-30))
-        q = np.clip(np.rint(arr * scale[:, None]), -_Q16_CODES, _Q16_CODES)
-        codes[:] = np.where(row_all[:, None], q, 0.0).astype(np.int16)
+        np.multiply(arr, scale[:, None], out=f32s)
+        np.rint(f32s, out=f32s)
+        np.clip(f32s, -_Q16_CODES, _Q16_CODES, out=f32s)
+        if not row_all.all():
+            f32s[~row_all] = 0.0
+        codes[:] = f32s
         out[name] = (codes, peaks, present)
     return out
 

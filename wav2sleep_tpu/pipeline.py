@@ -718,14 +718,22 @@ class StreamingPipelineQ16:
         self._nbuf = max(2, prefetch)
         self._bufs = [
             (
-                {c: np.zeros((batch_size, self._n_grid[c]), self.transport_dtype) for c in self.signals},
+                {
+                    c: np.zeros((batch_size, self._transport_len(c)), self.transport_dtype)
+                    for c in self.signals
+                },
                 {c: np.zeros(batch_size, dtype=self.meta_dtype) for c in self.signals},
             )
             for _ in range(self._nbuf)
         ]
 
-    # Transport hooks (overridden by the int8 variant).
+    # Transport hooks (overridden by the int8/packed-int4 variants).
     transport_dtype = np.int16
+
+    def _transport_len(self, col: str) -> int:
+        """Per-signal transport-row length (grid samples; the packed q4
+        variant ships two codes per byte)."""
+        return self._n_grid[col]
 
     @property
     def meta_dtype(self):
@@ -910,6 +918,134 @@ class StreamingPipelineQ8(StreamingPipelineQ16):
 
     def _make_extractor(self):
         return Q8NightExtractor(self.signals, self.max_length_hours)
+
+
+_Q4_LUT: np.ndarray | None = None
+_Q4_CODES = 7
+
+
+def _q4_requant_lut() -> np.ndarray:
+    """256-entry LUT mapping a mu-law int8 code (indexed by its uint8 bit
+    pattern) to a 4-bit sign-magnitude mu-law code: 1 sign bit (0x8) + 3
+    magnitude bits, magnitudes decoding as expm1(m*ln256/7)/255 — the
+    7-step analog of the 127-step q8 rung. 'Nearest' is resolved in the
+    digital domain (each 8-bit level maps to the 4-bit level with minimal
+    reconstruction error), so the packed rung is the optimal requantization
+    of the native q8 resample kernel's output: reusing w2s_resample_q8
+    costs at most half a q8 step of extra error — negligible against the
+    q4 step — and keeps the native/numpy host paths bit-identical without
+    a second C++ kernel."""
+    global _Q4_LUT
+    if _Q4_LUT is None:
+        k8 = np.arange(-127, 128)
+        x8 = np.expm1(np.abs(k8) * (np.log1p(MU_LAW) / 127.0)) / MU_LAW
+        x4 = np.expm1(np.arange(_Q4_CODES + 1) * (np.log1p(MU_LAW) / _Q4_CODES)) / MU_LAW
+        m = np.abs(x8[:, None] - x4[None, :]).argmin(axis=1).astype(np.uint8)
+        nib = np.where(k8 < 0, 0x8 | m, m).astype(np.uint8)
+        lut = np.zeros(256, np.uint8)
+        lut[k8 & 0xFF] = nib
+        _Q4_LUT = lut
+    return _Q4_LUT
+
+
+class Q4NightExtractor:
+    """Packed 4-bit mu-law variant: q8 extraction (native kernel or its
+    numpy mirror) requantized through ``_q4_requant_lut`` and packed two
+    codes per byte — sample 2i in the low nibble, 2i+1 in the high. Meta
+    contract is Q8's (n_valid/n_pad in UNPACKED sample units). Scratch
+    rows are pooled per signal: this runs on the producer thread of a host
+    where fresh large allocations page-fault at ~12 MB/s."""
+
+    def __init__(
+        self,
+        signals: list[str],
+        n_grid: dict[str, int],
+        max_length_hours: float = 10.0,
+        use_native: bool = True,
+    ):
+        self._q8 = Q8NightExtractor(signals, max_length_hours, use_native=use_native)
+        self.signals = list(signals)
+        self._n_grid = dict(n_grid)
+        self._srow = {c: np.zeros((1, self._n_grid[c]), np.int8) for c in self.signals}
+        self._smeta = {c: np.zeros(1, dtype=Q8_META_DTYPE) for c in self.signals}
+        # Nibble scratch padded to even length so the pack never reads an
+        # uninitialized trailing half-byte.
+        self._snib = {
+            c: np.zeros(self._n_grid[c] + (self._n_grid[c] & 1), np.uint8) for c in self.signals
+        }
+
+    def extract_into(
+        self, fp: str, out_u8: dict[str, np.ndarray], meta: dict[str, np.ndarray], row: int
+    ) -> int:
+        lut = _q4_requant_lut()
+        n_epochs = self._q8.extract_into(fp, self._srow, self._smeta, 0)
+        for col in self.signals:
+            n = self._n_grid[col]
+            nib = self._snib[col]
+            np.take(lut, self._srow[col][0].view(np.uint8), out=nib[:n])
+            nib[n:] = 0
+            dst = out_u8[col][row]
+            np.left_shift(nib[1::2], 4, out=dst)
+            np.bitwise_or(dst, nib[0::2], out=dst)
+            meta[col][row] = self._smeta[col][0]
+        return n_epochs
+
+
+def make_streaming_forward_q4(
+    model, n_grid: dict[str, int], precision: str = 'bfloat16', output: str = 'argmax'
+) -> Callable:
+    """Jitted forward over packed 4-bit mu-law codes: nibble unpack (two
+    shifts + an interleave — all elementwise, no gather), sign-magnitude
+    7-step mu-law expand, affine, validity mask, z-score, model."""
+    import jax
+    import jax.numpy as jnp
+
+    dtype = jnp.bfloat16 if precision == 'bfloat16' else jnp.float32
+    log1p_mu = float(np.log1p(MU_LAW))
+
+    @jax.jit
+    def forward(variables, q, a, b, vmax, n_valid, n_pad, present):
+        x = {}
+        for col, r in q.items():
+            p = r.astype(jnp.int32)
+            nib = jnp.stack([p & 0xF, p >> 4], axis=-1).reshape(r.shape[0], -1)
+            nib = nib[:, : n_grid[col]]
+            mag = (nib & 7).astype(jnp.float32)
+            sgn = 1.0 - 2.0 * (nib >> 3).astype(jnp.float32)
+            dig = sgn * jnp.expm1(mag * (log1p_mu / _Q4_CODES)) * (vmax[col][:, None] / MU_LAW)
+            v = dig * a[col][:, None] + b[col][:, None]
+            iot = jnp.arange(n_grid[col], dtype=jnp.int32)
+            v = jnp.where(iot[None, :] < n_valid[col][:, None], v, 0.0)
+            z = _masked_zscore(v, iot[None, :] < n_pad[col][:, None], dtype)
+            x[col] = jnp.where(present[col][:, None], z, jnp.asarray(-jnp.inf, dtype))
+        logits = model.apply(variables, x)
+        if output == 'logits':
+            return logits.astype(jnp.float32)
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+    return forward
+
+
+class StreamingPipelineQ4(StreamingPipelineQ16):
+    """Packed 4-bit mu-law transport (see Q4NightExtractor): half the q8
+    bytes, an eighth of f32 — for links where bytes set the throughput
+    slope and the measured q4 quality tax (docs/design.md ladder) is
+    acceptable. q8 stays the default serving rung."""
+
+    transport_dtype = np.uint8
+
+    @property
+    def meta_dtype(self):
+        return Q8_META_DTYPE
+
+    def _transport_len(self, col: str) -> int:
+        return (self._n_grid[col] + 1) // 2
+
+    def _make_forward(self, model, precision: str) -> Callable:
+        return make_streaming_forward_q4(model, self._n_grid, precision=precision)
+
+    def _make_extractor(self):
+        return Q4NightExtractor(self.signals, self._n_grid, self.max_length_hours)
 
 
 class StreamingPipeline:

@@ -482,15 +482,7 @@ class Trainer:
                 drain()
             n += 1
         drain()
-        # Release the staging ring's device references: without this the last
-        # ``stage_ring`` staged batches stay pinned in HBM through the eval
-        # matrix and checkpointing. Block first — a still-inflight transfer
-        # guards its pooled host buffer via this same list.
-        if getattr(self, '_ring_inflight', None):
-            for j, d in enumerate(self._ring_inflight):
-                if d is not None:
-                    jax.block_until_ready(d)
-                    self._ring_inflight[j] = None
+        self._release_ring()
         if not losses:
             raise ValueError('Empty training epoch - no batches produced.')
         loss = float(jnp.mean(jnp.stack(losses)))
@@ -503,6 +495,19 @@ class Trainer:
         self.metrics_logger.log(out, step=epoch)
         self.metrics_logger.log_confusion(cmat, epoch, prefix=f'{TRAIN}_all')
         return out
+
+    def _release_ring(self) -> None:
+        """Release the staging ring's device references: without this the
+        last ``stage_ring`` staged batches stay pinned in HBM through the
+        eval matrix and checkpointing (and, after an eval-transport matrix
+        pass, through the whole next train epoch). Block first — a
+        still-inflight transfer guards its pooled host buffer via this
+        same list."""
+        if getattr(self, '_ring_inflight', None):
+            for j, d in enumerate(self._ring_inflight):
+                if d is not None:
+                    jax.block_until_ready(d)
+                    self._ring_inflight[j] = None
 
     def _enqueue_host_ema(self, step_before: int) -> None:
         """CPU-offloaded mirror of the in-graph EMA update (same semantics:
@@ -677,6 +682,7 @@ class Trainer:
             if n % max(1, self.eval_fetch_every) == 0:
                 drain()
         drain()
+        self._release_ring()
         def wmean(pairs):
             total = sum(n for _, n in pairs)
             if not pairs or total == 0:
