@@ -479,14 +479,19 @@ def test_stream_early_abandon(tmp_path):
     assert set(full) == set(fps)
 
 
-def test_q16_pipeline_multichip_mesh(tmp_path):
+@pytest.mark.parametrize('transport', ['q16', 'q4'])
+def test_q16_pipeline_multichip_mesh(tmp_path, transport):
     """Quantized serving sharded over an 8-device mesh (batch dim on the
-    'data' axis) must match the single-device hypnograms exactly."""
+    'data' axis) must match the single-device hypnograms exactly — for both
+    the int16 rung and the packed-uint8 q4 rung (whose transport rows are
+    half-length packed bytes; the mesh shards the night dim either way)."""
     import jax
 
     from wav2sleep_tpu import models as jm
     from wav2sleep_tpu.parallel.mesh import make_mesh
-    from wav2sleep_tpu.pipeline import StreamingPipelineQ16
+    from wav2sleep_tpu.pipeline import StreamingPipelineQ4, StreamingPipelineQ16
+
+    cls = {'q16': StreamingPipelineQ16, 'q4': StreamingPipelineQ4}[transport]
 
     if jax.device_count() < 8:
         import pytest
@@ -511,11 +516,11 @@ def test_q16_pipeline_multichip_mesh(tmp_path):
         fps.append(fp)
     variables = model.init(jax.random.PRNGKey(0), {'ECG': np.zeros((1, 1024 * 6), np.float32)})
     mesh = make_mesh(jax.devices()[:8], data=8, model=1)
-    single = dict(StreamingPipelineQ16(model, variables, ['ECG'], batch_size=8,
-                                       max_length_hours=hours, precision='float32').run(fps))
-    sharded = dict(StreamingPipelineQ16(model, variables, ['ECG'], batch_size=8,
-                                        max_length_hours=hours, precision='float32',
-                                        mesh=mesh).run(fps))
+    single = dict(cls(model, variables, ['ECG'], batch_size=8,
+                      max_length_hours=hours, precision='float32').run(fps))
+    sharded = dict(cls(model, variables, ['ECG'], batch_size=8,
+                       max_length_hours=hours, precision='float32',
+                       mesh=mesh).run(fps))
     for fp in fps:
         np.testing.assert_array_equal(single[fp], sharded[fp])
 
