@@ -92,9 +92,11 @@ def main() -> None:
     from wav2sleep_tpu.data.preprocessing import signal_target_grid
     from wav2sleep_tpu.pipeline import (
         NightDecoder,
+        Q4NightExtractor,
         Q8_META_DTYPE,
         Q8NightExtractor,
         make_streaming_forward,
+        make_streaming_forward_q4,
         make_streaming_forward_q8,
     )
     from wav2sleep_tpu.settings import COLS_TO_SAMPLES_PER_EPOCH
@@ -261,6 +263,42 @@ def main() -> None:
                     **base,
                     'q8_eval_acc': round(q8_acc, 4),
                     'acc_delta': round(q8_acc - f32_acc, 5),
+                    **{k: round(v, 5) for k, v in compare(ref, test).items()},
+                }
+            )
+        )
+
+    # --- q4 rung: the same trained weights over the packed 4-bit transport ---
+    q4_ext = Q4NightExtractor(signals, n_grid, args.hours)
+    q4_buf = {c: np.zeros((B_eval, (n_grid[c] + 1) // 2), np.uint8) for c in signals}
+    meta4 = {c: np.zeros(B_eval, dtype=Q8_META_DTYPE) for c in signals}
+    for i, fp in enumerate(eval_fps):
+        q4_ext.extract_into(fp, q4_buf, meta4, i)
+
+    def q4_args():
+        return (
+            {c: jnp.asarray(q4_buf[c]) for c in signals},
+            *(
+                {c: jnp.asarray(meta4[c][name]) for c in signals}
+                for name in Q8_META_DTYPE.names
+            ),
+        )
+
+    fwd_q4_f32 = make_streaming_forward_q4(model, n_grid, precision='float32', output='logits')
+    fwd_q4_bf16 = make_streaming_forward_q4(model, n_grid, precision='bfloat16', output='logits')
+    for name, fwd, fwd_vars in (
+        ('float32', fwd_q4_f32, variables),
+        ('bfloat16', fwd_q4_bf16, variables_bf16),
+    ):
+        test = np.asarray(fwd(fwd_vars, *q4_args()))
+        q4_acc = float((test.argmax(-1) == eval_y).mean())
+        print(
+            json.dumps(
+                {
+                    'config': f'trained model: q4+{name} vs f32 lossless',
+                    **base,
+                    'q4_eval_acc': round(q4_acc, 4),
+                    'acc_delta': round(q4_acc - f32_acc, 5),
                     **{k: round(v, 5) for k, v in compare(ref, test).items()},
                 }
             )

@@ -76,11 +76,22 @@ def build(force: bool = False) -> str | None:
     srcs = _sources()
     if not srcs:
         return None
-    cmd = ['g++', *_CFLAGS, '-o', _LIB_PATH, *srcs]
+    # Compile to a temp path and rename into place: g++ -o truncates the
+    # output in place, which corrupts the mmap of any OTHER live process
+    # that already dlopen'd the previous build (SIGBUS mid-decode). The
+    # rename swaps the directory entry atomically; existing maps keep the
+    # old inode.
+    tmp_path = f'{_LIB_PATH}.build.{os.getpid()}'
+    cmd = ['g++', *_CFLAGS, '-o', tmp_path, *srcs]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=300)
+        os.replace(tmp_path, _LIB_PATH)
     except (OSError, subprocess.SubprocessError) as e:
         logger.warning(f'Native build failed ({e}); falling back to pure-Python kernels.')
+        try:
+            os.unlink(tmp_path)
+        except OSError:
+            pass
         return None
     try:
         with open(_BUILDINFO_PATH, 'w') as f:
@@ -154,6 +165,12 @@ def _configure(lib: ctypes.CDLL) -> None:
         c_double, c_double, c_i64, i8, ctypes.POINTER(ctypes.c_double),
     ]
     lib.w2s_resample_q8.restype = c_i64
+
+    lib.w2s_resample_q4.argtypes = [
+        i16, c_i64, c_i64, c_i64, c_i64,
+        c_double, c_double, c_i64, u8, u8, ctypes.POINTER(ctypes.c_double),
+    ]
+    lib.w2s_resample_q4.restype = c_i64
 
     lib.w2s_mulaw8_encode_f32.argtypes = [
         f32, c_i64, i8, ctypes.POINTER(ctypes.c_float),

@@ -53,6 +53,50 @@ int64_t resample_cursor_loop(const int16_t* records, int64_t n_records,
   return n_valid;
 }
 
+// Per-channel digital peak over the raw samples (min 1 so the mu-law
+// normalization never divides by zero on an all-zero channel).
+int32_t digital_peak(const int16_t* records, int64_t n_records,
+                     int64_t record_stride, int64_t ch_offset, int64_t ch_spr) {
+  int32_t vmax_i = 1;
+  for (int64_t r = 0; r < n_records; ++r) {
+    const int16_t* row = records + r * record_stride + ch_offset;
+    for (int64_t k = 0; k < ch_spr; ++k) {
+      int32_t a = row[k];
+      if (a < 0) a = -a;
+      if (a > vmax_i) vmax_i = a;
+    }
+  }
+  return vmax_i;
+}
+
+// mu-law int8 quantization LUT over the int16 digital range (mu=255),
+// slot-cached per digital peak V: a batch interleaves channels with
+// distinct Vs every night, so a single-entry cache would rebuild 65536
+// log1p entries per channel per night.
+constexpr int kLutSlots = 8;
+
+const int8_t* q8_lut_for_peak(double V) {
+  static thread_local int8_t luts[kLutSlots][65536];
+  static thread_local double lut_Vs[kLutSlots] = {-1, -1, -1, -1, -1, -1, -1, -1};
+  static thread_local int lut_next = 0;
+  const double mu = 255.0;
+  const double inv_log1p_mu = 1.0 / std::log1p(mu);
+  for (int s = 0; s < kLutSlots; ++s) {
+    if (lut_Vs[s] == V) return luts[s];
+  }
+  const int slot = lut_next;
+  lut_next = (lut_next + 1) % kLutSlots;
+  int8_t* l = luts[slot];
+  for (int32_t d = -32768; d < 32768; ++d) {
+    const double x = static_cast<double>(d < 0 ? -d : d) / V;
+    const double q = 127.0 * std::log1p(mu * (x > 1.0 ? 1.0 : x)) * inv_log1p_mu;
+    const int32_t qi = static_cast<int32_t>(std::lrint(q));
+    l[static_cast<uint16_t>(d)] = static_cast<int8_t>(d < 0 ? -qi : qi);
+  }
+  lut_Vs[slot] = V;
+  return l;
+}
+
 }  // namespace
 
 extern "C" {
@@ -169,44 +213,10 @@ int64_t w2s_resample_q8(
     return 0;
   }
   // Pass 1: per-channel digital peak over the raw samples.
-  int32_t vmax_i = 1;
-  for (int64_t r = 0; r < n_records; ++r) {
-    const int16_t* row = records + r * record_stride + ch_offset;
-    for (int64_t k = 0; k < ch_spr; ++k) {
-      int32_t a = row[k];
-      if (a < 0) a = -a;
-      if (a > vmax_i) vmax_i = a;
-    }
-  }
-  const double V = static_cast<double>(vmax_i);
+  const double V =
+      static_cast<double>(digital_peak(records, n_records, record_stride, ch_offset, ch_spr));
   *out_vmax = V;
-  // Quantization LUTs over the int16 range (mu-law, mu=255), cached per
-  // digital peak V: a batch interleaves channels with distinct Vs every
-  // night, so a single-entry cache would rebuild 65536 log1p entries per
-  // channel per night.
-  constexpr int kLutSlots = 8;
-  static thread_local int8_t luts[kLutSlots][65536];
-  static thread_local double lut_Vs[kLutSlots] = {-1, -1, -1, -1, -1, -1, -1, -1};
-  static thread_local int lut_next = 0;
-  const double mu = 255.0;
-  const double inv_log1p_mu = 1.0 / std::log1p(mu);
-  int slot = -1;
-  for (int s = 0; s < kLutSlots; ++s) {
-    if (lut_Vs[s] == V) { slot = s; break; }
-  }
-  if (slot < 0) {
-    slot = lut_next;
-    lut_next = (lut_next + 1) % kLutSlots;
-    int8_t* l = luts[slot];
-    for (int32_t d = -32768; d < 32768; ++d) {
-      const double x = static_cast<double>(d < 0 ? -d : d) / V;
-      const double q = 127.0 * std::log1p(mu * (x > 1.0 ? 1.0 : x)) * inv_log1p_mu;
-      const int32_t qi = static_cast<int32_t>(std::lrint(q));
-      l[static_cast<uint16_t>(d)] = static_cast<int8_t>(d < 0 ? -qi : qi);
-    }
-    lut_Vs[slot] = V;
-  }
-  const int8_t* lut = luts[slot];
+  const int8_t* lut = q8_lut_for_peak(V);
   const double ratio = step * fs;
   if (ratio == 1.0) {
     const int64_t n_valid = (n - 1 < m) ? (n - 1) : m;
@@ -224,6 +234,94 @@ int64_t w2s_resample_q8(
         out[j] = lut[static_cast<uint16_t>(static_cast<int16_t>(std::lrint(v)))];
       });
   for (int64_t k = n_valid; k < m; ++k) out[k] = 0;
+  return n_valid;
+}
+
+// Packed 4-bit mu-law transport: one fused pass from the EDF record matrix
+// to packed nibbles (sample 2j in the low nibble of byte j, 2j+1 in the
+// high). Semantically identical to w2s_resample_q8 followed by the Python
+// requantization LUT + pack (pipeline._q4_requant_lut / Q4NightExtractor's
+// numpy fallback pins bit-equality in tests), but it never materializes the
+// intermediate int8 row: the int16-digital -> q8 -> nibble chain is
+// composed into one 65536-entry LUT, removing three full-grid numpy sweeps
+// (~27 ms per 10 h night on the 1-core serving host, where extraction IS
+// the q4 pipeline's critical path).
+//
+// q4_lut: the caller's 256-entry mu-law-int8-code -> 4-bit sign-magnitude
+// LUT (a pure function of the mu-law constant, so caching composed LUTs per
+// digital peak V stays valid across calls).
+// m is the UNPACKED grid length; out has (m+1)/2 bytes. Returns n_valid in
+// unpacked sample units; tail codes are 0 (an odd n_valid leaves the final
+// byte's high nibble 0, matching the zero-padded numpy pack).
+int64_t w2s_resample_q4(
+    const int16_t* records,
+    int64_t n_records,
+    int64_t record_stride,
+    int64_t ch_offset,
+    int64_t ch_spr,
+    double fs,
+    double step,
+    int64_t m,
+    const uint8_t* q4_lut,
+    uint8_t* out,
+    double* out_vmax)
+{
+  const int64_t mp = (m + 1) / 2;
+  const int64_t n = n_records * ch_spr;
+  if (n <= 0) {
+    for (int64_t j = 0; j < mp; ++j) out[j] = 0;
+    *out_vmax = 1.0;
+    return 0;
+  }
+  const double V =
+      static_cast<double>(digital_peak(records, n_records, record_stride, ch_offset, ch_spr));
+  *out_vmax = V;
+  // Composed int16-digital -> nibble LUT, slot-cached per V like the q8 LUT.
+  static thread_local uint8_t nib_luts[kLutSlots][65536];
+  static thread_local double nib_Vs[kLutSlots] = {-1, -1, -1, -1, -1, -1, -1, -1};
+  static thread_local int nib_next = 0;
+  const uint8_t* nlut = nullptr;
+  for (int s = 0; s < kLutSlots; ++s) {
+    if (nib_Vs[s] == V) { nlut = nib_luts[s]; break; }
+  }
+  if (nlut == nullptr) {
+    const int8_t* lut8 = q8_lut_for_peak(V);
+    const int slot = nib_next;
+    nib_next = (nib_next + 1) % kLutSlots;
+    uint8_t* l = nib_luts[slot];
+    for (int32_t u = 0; u < 65536; ++u) {
+      l[u] = q4_lut[static_cast<uint8_t>(lut8[u])];
+    }
+    nib_Vs[slot] = V;
+    nlut = l;
+  }
+  uint8_t pending = 0;
+  auto emit = [&](int64_t j, uint8_t nib) {
+    if (j & 1) {
+      out[j >> 1] = static_cast<uint8_t>(pending | (nib << 4));
+    } else {
+      pending = nib;
+    }
+  };
+  const double ratio = step * fs;
+  int64_t n_valid;
+  if (ratio == 1.0) {
+    n_valid = (n - 1 < m) ? (n - 1) : m;
+    for (int64_t j = 0; j < n_valid; ++j) {
+      const int64_t i = j + 1;
+      const int64_t rec = i / ch_spr;
+      emit(j, nlut[static_cast<uint16_t>(
+                 records[rec * record_stride + ch_offset + (i - rec * ch_spr)])]);
+    }
+  } else {
+    n_valid = resample_cursor_loop(
+        records, n_records, record_stride, ch_offset, ch_spr, ratio, m,
+        [&](int64_t j, double v) {
+          emit(j, nlut[static_cast<uint16_t>(static_cast<int16_t>(std::lrint(v)))]);
+        });
+  }
+  if (n_valid & 1) out[n_valid >> 1] = pending;  // high nibble stays 0
+  for (int64_t k = (n_valid + 1) / 2; k < mp; ++k) out[k] = 0;
   return n_valid;
 }
 

@@ -843,36 +843,44 @@ class Q8NightExtractor:
                 _, scale, offset = channel_norm_affine(col, ch.unit, ch.physical_min, ch.physical_max)
                 a = ch.bitvalue * scale
                 b = (ch.physical_min - ch.digital_min * ch.bitvalue) * scale + offset
-                if self._lib is not None and dst.flags.c_contiguous:
-                    n_valid = self._lib.w2s_resample_q8(
-                        f._records,
-                        f.header.n_records,
-                        f._records.shape[1],
-                        int(f._offsets[ch.index]),
-                        ch.samples_per_record,
-                        float(fs),
-                        float(self._step[col]),
-                        len(dst),
-                        dst,
-                        ctypes.byref(self._vmax_out),
-                    )
-                    vmax = self._vmax_out.value
-                else:
-                    lo = f._offsets[ch.index]
-                    dig = np.ascontiguousarray(
-                        f._records[:, lo : lo + ch.samples_per_record]
-                    ).reshape(-1).astype(np.float64)
-                    vmax = max(1.0, float(np.abs(dig).max()))
-                    res, n_valid = _resample_digital_f64(dig, self._step[col] * fs, len(dst))
-                    # Mirror the native kernel exactly: round the lerp to an
-                    # integer digital value, then mu-law quantize that.
-                    d = np.rint(res)
-                    x = np.clip(np.abs(d) / vmax, 0.0, 1.0)
-                    q = np.rint(127.0 * np.log1p(MU_LAW * x) / np.log1p(MU_LAW))
-                    dst[:] = (np.sign(d) * q).astype(np.int8)
-                    dst[n_valid:] = 0
+                n_valid, vmax = self._quantize_channel(f, ch, fs, col, dst)
                 m[row] = (a, b, vmax, n_valid, n_epochs * COLS_TO_SAMPLES_PER_EPOCH[col], True)
             return n_epochs
+
+    def _quantize_channel(self, f, ch, fs: float, col: str, dst: np.ndarray) -> tuple[int, float]:
+        """Resample one channel onto the model grid in the digital domain and
+        mu-law quantize into ``dst`` (int8, unpacked grid length). Returns
+        (n_valid, digital peak). Hook point for the packed-q4 subclass."""
+        import ctypes
+
+        if self._lib is not None and dst.flags.c_contiguous:
+            n_valid = self._lib.w2s_resample_q8(
+                f._records,
+                f.header.n_records,
+                f._records.shape[1],
+                int(f._offsets[ch.index]),
+                ch.samples_per_record,
+                float(fs),
+                float(self._step[col]),
+                len(dst),
+                dst,
+                ctypes.byref(self._vmax_out),
+            )
+            return n_valid, self._vmax_out.value
+        lo = f._offsets[ch.index]
+        dig = np.ascontiguousarray(
+            f._records[:, lo : lo + ch.samples_per_record]
+        ).reshape(-1).astype(np.float64)
+        vmax = max(1.0, float(np.abs(dig).max()))
+        res, n_valid = _resample_digital_f64(dig, self._step[col] * fs, len(dst))
+        # Mirror the native kernel exactly: round the lerp to an
+        # integer digital value, then mu-law quantize that.
+        d = np.rint(res)
+        x = np.clip(np.abs(d) / vmax, 0.0, 1.0)
+        q = np.rint(127.0 * np.log1p(MU_LAW * x) / np.log1p(MU_LAW))
+        dst[:] = (np.sign(d) * q).astype(np.int8)
+        dst[n_valid:] = 0
+        return n_valid, vmax
 
 
 def make_streaming_forward_q8(model, precision: str = 'bfloat16', output: str = 'argmax') -> Callable:
@@ -948,13 +956,18 @@ def _q4_requant_lut() -> np.ndarray:
     return _Q4_LUT
 
 
-class Q4NightExtractor:
-    """Packed 4-bit mu-law variant: q8 extraction (native kernel or its
-    numpy mirror) requantized through ``_q4_requant_lut`` and packed two
-    codes per byte — sample 2i in the low nibble, 2i+1 in the high. Meta
-    contract is Q8's (n_valid/n_pad in UNPACKED sample units). Scratch
-    rows are pooled per signal: this runs on the producer thread of a host
-    where fresh large allocations page-fault at ~12 MB/s."""
+class Q4NightExtractor(Q8NightExtractor):
+    """Packed 4-bit mu-law variant: the q8 digital-domain resample
+    requantized through ``_q4_requant_lut`` and packed two codes per byte —
+    sample 2i in the low nibble, 2i+1 in the high. Meta contract is Q8's
+    (n_valid/n_pad in UNPACKED sample units). The native path is one fused
+    C++ pass (``w2s_resample_q4``: the int16->q8->nibble chain composed
+    into a single LUT) — extraction IS the q4 pipeline's critical path on
+    the 1-core host, and the numpy requant+pack alone costs ~27 ms per
+    10 h night. The numpy fallback keeps the two-step formulation; both
+    are bit-identical (tests/test_pipeline.py::test_q4_pipeline_transport).
+    Scratch rows are pooled per signal: fresh large host allocations
+    page-fault at ~12 MB/s here."""
 
     def __init__(
         self,
@@ -963,32 +976,43 @@ class Q4NightExtractor:
         max_length_hours: float = 10.0,
         use_native: bool = True,
     ):
-        self._q8 = Q8NightExtractor(signals, max_length_hours, use_native=use_native)
-        self.signals = list(signals)
+        super().__init__(signals, max_length_hours, use_native=use_native)
         self._n_grid = dict(n_grid)
-        self._srow = {c: np.zeros((1, self._n_grid[c]), np.int8) for c in self.signals}
-        self._smeta = {c: np.zeros(1, dtype=Q8_META_DTYPE) for c in self.signals}
-        # Nibble scratch padded to even length so the pack never reads an
-        # uninitialized trailing half-byte.
+        self._q4_lut = np.ascontiguousarray(_q4_requant_lut())
+        # Fallback scratch: one unpacked int8 row + a nibble row padded to
+        # even length so the pack never reads an uninitialized half-byte.
+        self._srow = {c: np.zeros(self._n_grid[c], np.int8) for c in self.signals}
         self._snib = {
             c: np.zeros(self._n_grid[c] + (self._n_grid[c] & 1), np.uint8) for c in self.signals
         }
 
-    def extract_into(
-        self, fp: str, out_u8: dict[str, np.ndarray], meta: dict[str, np.ndarray], row: int
-    ) -> int:
-        lut = _q4_requant_lut()
-        n_epochs = self._q8.extract_into(fp, self._srow, self._smeta, 0)
-        for col in self.signals:
-            n = self._n_grid[col]
-            nib = self._snib[col]
-            np.take(lut, self._srow[col][0].view(np.uint8), out=nib[:n])
-            nib[n:] = 0
-            dst = out_u8[col][row]
-            np.left_shift(nib[1::2], 4, out=dst)
-            np.bitwise_or(dst, nib[0::2], out=dst)
-            meta[col][row] = self._smeta[col][0]
-        return n_epochs
+    def _quantize_channel(self, f, ch, fs: float, col: str, dst: np.ndarray) -> tuple[int, float]:
+        import ctypes
+
+        n = self._n_grid[col]
+        if self._lib is not None and dst.flags.c_contiguous:
+            n_valid = self._lib.w2s_resample_q4(
+                f._records,
+                f.header.n_records,
+                f._records.shape[1],
+                int(f._offsets[ch.index]),
+                ch.samples_per_record,
+                float(fs),
+                float(self._step[col]),
+                n,
+                self._q4_lut,
+                dst,
+                ctypes.byref(self._vmax_out),
+            )
+            return n_valid, self._vmax_out.value
+        srow = self._srow[col]
+        n_valid, vmax = super()._quantize_channel(f, ch, fs, col, srow)
+        nib = self._snib[col]
+        np.take(self._q4_lut, srow.view(np.uint8), out=nib[:n])
+        nib[n:] = 0
+        np.left_shift(nib[1::2], 4, out=dst)
+        np.bitwise_or(dst, nib[0::2], out=dst)
+        return n_valid, vmax
 
 
 def make_streaming_forward_q4(
