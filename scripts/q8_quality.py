@@ -64,7 +64,7 @@ def compare(ref: np.ndarray, test: np.ndarray) -> dict:
     }
 
 
-def main() -> None:
+def build_parser() -> argparse.ArgumentParser:
     parser = argparse.ArgumentParser()
     parser.add_argument('--train-nights', type=int, default=10)
     parser.add_argument('--eval-nights', type=int, default=8)
@@ -79,8 +79,19 @@ def main() -> None:
         'transport (ops/q8_transport.py) before the training loop, to A/B '
         'the end-task cost of input_transport=q8 (same seeds/rng either way)',
     )
-    args = parser.parse_args()
+    return parser
 
+
+def setup_and_train(args):
+    """Synthesize disjoint train/eval corpora, train the flagship with
+    held-out model selection, and compute the lossless-f32 reference logits.
+
+    Returns a SimpleNamespace with everything a transport-quality rung
+    needs (model, selected f32/bf16 weights, eval corpus + labels, the q8
+    eval extraction, reference logits and the JSON row prefix), so sibling
+    harnesses (scripts/q4_codebook_probe.py) can reuse the exact protocol
+    without retraining code drift.
+    """
     import jax
     import jax.numpy as jnp
     import optax
@@ -92,11 +103,9 @@ def main() -> None:
     from wav2sleep_tpu.data.preprocessing import signal_target_grid
     from wav2sleep_tpu.pipeline import (
         NightDecoder,
-        Q4NightExtractor,
         Q8_META_DTYPE,
         Q8NightExtractor,
         make_streaming_forward,
-        make_streaming_forward_q4,
         make_streaming_forward_q8,
     )
     from wav2sleep_tpu.settings import COLS_TO_SAMPLES_PER_EPOCH
@@ -250,9 +259,50 @@ def main() -> None:
     variables_bf16 = jax.tree_util.tree_map(
         lambda a: jnp.asarray(a, jnp.bfloat16), variables
     )
+    from types import SimpleNamespace
+
+    return SimpleNamespace(
+        signals=signals,
+        model=model,
+        n_grid=n_grid,
+        eval_fps=eval_fps,
+        eval_y=eval_y,
+        eval_f32=eval_f32,
+        epochs=epochs,
+        q8_args=q8_args,
+        fwd_f32=fwd_f32,
+        fwd_q8_f32=fwd_q8_f32,
+        fwd_q8_bf16=fwd_q8_bf16,
+        variables=variables,
+        variables_bf16=variables_bf16,
+        var_shapes=var_shapes,
+        ref=ref,
+        f32_acc=f32_acc,
+        base=base,
+    )
+
+
+def main() -> None:
+    args = build_parser().parse_args()
+    import jax
+    import jax.numpy as jnp
+
+    ns = setup_and_train(args)
+    signals, model, n_grid = ns.signals, ns.model, ns.n_grid
+    eval_fps, eval_y, eval_f32, epochs = ns.eval_fps, ns.eval_y, ns.eval_f32, ns.epochs
+    q8_args, fwd_f32 = ns.q8_args, ns.fwd_f32
+    variables, variables_bf16 = ns.variables, ns.variables_bf16
+    ref, f32_acc, base = ns.ref, ns.f32_acc, ns.base
+
+    from wav2sleep_tpu.pipeline import (
+        Q4NightExtractor,
+        Q8_META_DTYPE,
+        make_streaming_forward_q4,
+    )
+
     for name, fwd, fwd_vars in (
-        ('float32', fwd_q8_f32, variables),
-        ('bfloat16', fwd_q8_bf16, variables_bf16),
+        ('float32', ns.fwd_q8_f32, variables),
+        ('bfloat16', ns.fwd_q8_bf16, variables_bf16),
     ):
         test = np.asarray(fwd(fwd_vars, *q8_args()))
         q8_acc = float((test.argmax(-1) == eval_y).mean())
@@ -269,6 +319,7 @@ def main() -> None:
         )
 
     # --- q4 rung: the same trained weights over the packed 4-bit transport ---
+    B_eval = len(eval_fps)
     q4_ext = Q4NightExtractor(signals, n_grid, args.hours)
     q4_buf = {c: np.zeros((B_eval, (n_grid[c] + 1) // 2), np.uint8) for c in signals}
     meta4 = {c: np.zeros(B_eval, dtype=Q8_META_DTYPE) for c in signals}
@@ -307,11 +358,12 @@ def main() -> None:
     # --- pessimistic bound: random init, per-class bias centered out ---
     rng = np.random.default_rng(0)
     rand_vars = jax.tree_util.tree_map(
-        lambda sh: jnp.asarray(rng.normal(size=sh.shape, scale=0.05), jnp.float32), var_shapes
+        lambda sh: jnp.asarray(rng.normal(size=sh.shape, scale=0.05), jnp.float32),
+        ns.var_shapes,
     )
     ref_r = np.asarray(fwd_f32(rand_vars, {c: jnp.asarray(eval_f32[c]) for c in signals}))
     rand_vars_bf16 = jax.tree_util.tree_map(lambda a: jnp.asarray(a, jnp.bfloat16), rand_vars)
-    test_r = np.asarray(fwd_q8_bf16(rand_vars_bf16, *q8_args()))
+    test_r = np.asarray(ns.fwd_q8_bf16(rand_vars_bf16, *q8_args()))
     bias = ref_r.mean(axis=(0, 1), keepdims=True)
     print(
         json.dumps(
