@@ -94,12 +94,37 @@ def dpcm4(x: np.ndarray, K: int) -> np.ndarray:
     return out.reshape(-1)[:n]
 
 
+def dpcm4_parallel(x: np.ndarray, K: int) -> np.ndarray:
+    """The transport-feasible DPCM form: within a block every c_j is an
+    INDEPENDENT rint against the block anchor (so encode vectorizes and
+    decode is one global cumsum(code*step)), with the step sized so code
+    diffs provably fit +-7: s = max(within-block diff peak / 6, anchor
+    jump / 6.5). ~17% coarser than the clip-fallback closed loop, but
+    code-range safety is a bound, not an empirical hope."""
+    xb, n = _blocks(x, K)
+    out = np.empty_like(xb)
+    A = 0.0
+    worst = 0.0
+    for b in range(xb.shape[0]):
+        row = xb[b]
+        pk = np.abs(np.diff(row)).max() if K > 1 else 0.0
+        s = max(pk / 6.0, abs(row[0] - A) / 6.5, 1e-12)
+        c = np.rint((row - A) / s)
+        worst = max(worst, abs(c[0]), np.abs(np.diff(c)).max())
+        out[b] = A + c * s
+        A = out[b, -1]
+    assert worst <= 7, f'code range violated: {worst}'
+    return out.reshape(-1)[:n]
+
+
 SCHEMES = {
     'global-mulaw (shipped q4)': (global_mulaw4, 0.0),
     'block-linear K=16': (lambda x: block_linear4(x, 16), 1 / 16),
     'block-linear K=64': (lambda x: block_linear4(x, 64), 1 / 64),
     'dpcm K=64': (lambda x: dpcm4(x, 64), 1 / 64),
     'dpcm K=256': (lambda x: dpcm4(x, 256), 1 / 256),
+    'dpcm-parallel K=64': (lambda x: dpcm4_parallel(x, 64), 1 / 64),
+    'dpcm-parallel K=256': (lambda x: dpcm4_parallel(x, 256), 1 / 256),
 }
 
 

@@ -298,6 +298,7 @@ def main() -> None:
         Q4NightExtractor,
         Q8_META_DTYPE,
         make_streaming_forward_q4,
+        q4_row_len,
     )
 
     for name, fwd, fwd_vars in (
@@ -321,7 +322,7 @@ def main() -> None:
     # --- q4 rung: the same trained weights over the packed 4-bit transport ---
     B_eval = len(eval_fps)
     q4_ext = Q4NightExtractor(signals, n_grid, args.hours)
-    q4_buf = {c: np.zeros((B_eval, (n_grid[c] + 1) // 2), np.uint8) for c in signals}
+    q4_buf = {c: np.zeros((B_eval, q4_row_len(n_grid[c])), np.uint8) for c in signals}
     meta4 = {c: np.zeros(B_eval, dtype=Q8_META_DTYPE) for c in signals}
     for i, fp in enumerate(eval_fps):
         q4_ext.extract_into(fp, q4_buf, meta4, i)

@@ -166,11 +166,11 @@ def _configure(lib: ctypes.CDLL) -> None:
     ]
     lib.w2s_resample_q8.restype = c_i64
 
-    lib.w2s_resample_q4.argtypes = [
+    lib.w2s_resample_dpcm4.argtypes = [
         i16, c_i64, c_i64, c_i64, c_i64,
-        c_double, c_double, c_i64, u8, u8, ctypes.POINTER(ctypes.c_double),
+        c_double, c_double, c_i64, c_i64, f64, u8, ctypes.POINTER(ctypes.c_double),
     ]
-    lib.w2s_resample_q4.restype = c_i64
+    lib.w2s_resample_dpcm4.restype = c_i64
 
     lib.w2s_mulaw8_encode_f32.argtypes = [
         f32, c_i64, i8, ctypes.POINTER(ctypes.c_float),

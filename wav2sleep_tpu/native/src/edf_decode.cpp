@@ -11,8 +11,10 @@
 // norm = phys * scale + offset                    (mV / [-1,1] mapping)
 // out[j] = lerp(sig, grid_j * fs) with zero outside [0, n-1].
 
+#include <algorithm>
 #include <cmath>
 #include <cstdint>
+#include <vector>
 
 namespace {
 
@@ -237,23 +239,23 @@ int64_t w2s_resample_q8(
   return n_valid;
 }
 
-// Packed 4-bit mu-law transport: one fused pass from the EDF record matrix
-// to packed nibbles (sample 2j in the low nibble of byte j, 2j+1 in the
-// high). Semantically identical to w2s_resample_q8 followed by the Python
-// requantization LUT + pack (pipeline._q4_requant_lut / Q4NightExtractor's
-// numpy fallback pins bit-equality in tests), but it never materializes the
-// intermediate int8 row: the int16-digital -> q8 -> nibble chain is
-// composed into one 65536-entry LUT, removing three full-grid numpy sweeps
-// (~27 ms per 10 h night on the 1-core serving host, where extraction IS
-// the q4 pipeline's critical path).
-//
-// q4_lut: the caller's 256-entry mu-law-int8-code -> 4-bit sign-magnitude
-// LUT (a pure function of the mu-law constant, so caching composed LUTs per
-// digital peak V stays valid across calls).
-// m is the UNPACKED grid length; out has (m+1)/2 bytes. Returns n_valid in
-// unpacked sample units; tail codes are 0 (an odd n_valid leaves the final
-// byte's high nibble 0, matching the zero-padded numpy pack).
-int64_t w2s_resample_q4(
+// Packed 4-bit block-DPCM transport: one fused streaming pass from the EDF
+// record matrix to [ceil(m/2) packed residual nibbles][ceil(m/K) uint8
+// scale exponents]. Codec contract (Q4NightExtractor's numpy fallback pins
+// bit-equality in tests):
+//   per K-sample block with anchor A (reconstruction of the previous
+//   block's last sample; 0.0 at night start):
+//     s = exp8_table[e], e = first index with table[e] >= max(diff-peak/6,
+//         |x_0 - A|/6.5)            (table = 2^(e/16), SHARED with Python)
+//     c_j = rint((x_j - A)/s)       (independent per sample)
+//     codes k_0 = c_0, k_j = c_j - c_{j-1}; the scale rule bounds |k| <= 7
+//     A' = A + c_last*s
+// Only a K-sample local buffer is needed — no full-grid scratch (fresh
+// large allocations page-fault at ~12 MB/s on the serving host). Device
+// decode is cumsum(k * s_block): the per-block anchors telescope.
+// m is the UNPACKED grid length. Returns n_valid in unpacked sample units;
+// codes/scales past it are 0.
+int64_t w2s_resample_dpcm4(
     const int16_t* records,
     int64_t n_records,
     int64_t record_stride,
@@ -262,47 +264,62 @@ int64_t w2s_resample_q4(
     double fs,
     double step,
     int64_t m,
-    const uint8_t* q4_lut,
+    int64_t K,
+    const double* exp8_table,
     uint8_t* out,
     double* out_vmax)
 {
   const int64_t mp = (m + 1) / 2;
+  const int64_t nb = (m + K - 1) / K;
+  uint8_t* scales = out + mp;
+  for (int64_t j = 0; j < mp + nb; ++j) out[j] = 0;
   const int64_t n = n_records * ch_spr;
-  if (n <= 0) {
-    for (int64_t j = 0; j < mp; ++j) out[j] = 0;
+  if (n <= 0 || K <= 0) {
     *out_vmax = 1.0;
     return 0;
   }
-  const double V =
+  *out_vmax =
       static_cast<double>(digital_peak(records, n_records, record_stride, ch_offset, ch_spr));
-  *out_vmax = V;
-  // Composed int16-digital -> nibble LUT, slot-cached per V like the q8 LUT.
-  static thread_local uint8_t nib_luts[kLutSlots][65536];
-  static thread_local double nib_Vs[kLutSlots] = {-1, -1, -1, -1, -1, -1, -1, -1};
-  static thread_local int nib_next = 0;
-  const uint8_t* nlut = nullptr;
-  for (int s = 0; s < kLutSlots; ++s) {
-    if (nib_Vs[s] == V) { nlut = nib_luts[s]; break; }
-  }
-  if (nlut == nullptr) {
-    const int8_t* lut8 = q8_lut_for_peak(V);
-    const int slot = nib_next;
-    nib_next = (nib_next + 1) % kLutSlots;
-    uint8_t* l = nib_luts[slot];
-    for (int32_t u = 0; u < 65536; ++u) {
-      l[u] = q4_lut[static_cast<uint8_t>(lut8[u])];
+
+  static thread_local std::vector<double> xbuf_store;
+  if (static_cast<int64_t>(xbuf_store.size()) < K) xbuf_store.resize(K);
+  double* xbuf = xbuf_store.data();
+
+  double A = 0.0;
+  int64_t cnt = 0;      // samples buffered in the current block
+  int64_t blk = 0;      // current block index
+  auto flush = [&]() {
+    if (cnt == 0) return;
+    double pk = 0.0;
+    for (int64_t i = 1; i < cnt; ++i) {
+      const double d = std::fabs(xbuf[i] - xbuf[i - 1]);
+      if (d > pk) pk = d;
     }
-    nib_Vs[slot] = V;
-    nlut = l;
-  }
-  uint8_t pending = 0;
-  auto emit = [&](int64_t j, uint8_t nib) {
-    if (j & 1) {
-      out[j >> 1] = static_cast<uint8_t>(pending | (nib << 4));
-    } else {
-      pending = nib;
+    const double need = std::max(pk / 6.0, std::fabs(xbuf[0] - A) / 6.5);
+    int64_t e = std::lower_bound(exp8_table, exp8_table + 256, need) - exp8_table;
+    if (e > 255) e = 255;
+    const double s = exp8_table[e];
+    scales[blk] = static_cast<uint8_t>(e);
+    const int64_t base = blk * K;
+    long cprev = 0;
+    for (int64_t i = 0; i < cnt; ++i) {
+      const long c = std::lrint((xbuf[i] - A) / s);
+      const long k = c - cprev;
+      cprev = c;
+      const uint8_t nib =
+          k < 0 ? static_cast<uint8_t>(0x8 | (-k)) : static_cast<uint8_t>(k);
+      const int64_t j = base + i;
+      out[j >> 1] |= (j & 1) ? static_cast<uint8_t>(nib << 4) : nib;
     }
+    A += static_cast<double>(cprev) * s;
+    ++blk;
+    cnt = 0;
   };
+  auto push = [&](double xv) {
+    xbuf[cnt++] = xv;
+    if (cnt == K) flush();
+  };
+
   const double ratio = step * fs;
   int64_t n_valid;
   if (ratio == 1.0) {
@@ -310,18 +327,15 @@ int64_t w2s_resample_q4(
     for (int64_t j = 0; j < n_valid; ++j) {
       const int64_t i = j + 1;
       const int64_t rec = i / ch_spr;
-      emit(j, nlut[static_cast<uint16_t>(
-                 records[rec * record_stride + ch_offset + (i - rec * ch_spr)])]);
+      push(static_cast<double>(
+          records[rec * record_stride + ch_offset + (i - rec * ch_spr)]));
     }
   } else {
     n_valid = resample_cursor_loop(
         records, n_records, record_stride, ch_offset, ch_spr, ratio, m,
-        [&](int64_t j, double v) {
-          emit(j, nlut[static_cast<uint16_t>(static_cast<int16_t>(std::lrint(v)))]);
-        });
+        [&](int64_t, double v) { push(std::nearbyint(v)); });
   }
-  if (n_valid & 1) out[n_valid >> 1] = pending;  // high nibble stays 0
-  for (int64_t k = (n_valid + 1) / 2; k < mp; ++k) out[k] = 0;
+  flush();  // partial final block
   return n_valid;
 }
 

@@ -928,46 +928,54 @@ class StreamingPipelineQ8(StreamingPipelineQ16):
         return Q8NightExtractor(self.signals, self.max_length_hours)
 
 
-_Q4_LUT: np.ndarray | None = None
-_Q4_CODES = 7
+Q4_BLOCK = 64
+
+# Shared power-of-two scale table for the q4 DPCM transport: scale index e
+# (uint8) decodes to 2^(e/16). Computed ONCE here in f64 and handed to the
+# native kernel as data, so the C++ and numpy encoders pick scales from
+# bit-identical values (a libm log2/exp2 last-ulp mismatch at a threshold
+# would otherwise fork the two paths' codes).
+_EXP8_SCALE = np.exp2(np.arange(256, dtype=np.float64) / 16.0)
 
 
-def _q4_requant_lut() -> np.ndarray:
-    """256-entry LUT mapping a mu-law int8 code (indexed by its uint8 bit
-    pattern) to a 4-bit sign-magnitude mu-law code: 1 sign bit (0x8) + 3
-    magnitude bits, magnitudes decoding as expm1(m*ln256/7)/255 — the
-    7-step analog of the 127-step q8 rung. 'Nearest' is resolved in the
-    digital domain (each 8-bit level maps to the 4-bit level with minimal
-    reconstruction error), so the packed rung is the optimal requantization
-    of the native q8 resample kernel's output: reusing w2s_resample_q8
-    costs at most half a q8 step of extra error — negligible against the
-    q4 step — and keeps the native/numpy host paths bit-identical without
-    a second C++ kernel."""
-    global _Q4_LUT
-    if _Q4_LUT is None:
-        k8 = np.arange(-127, 128)
-        x8 = np.expm1(np.abs(k8) * (np.log1p(MU_LAW) / 127.0)) / MU_LAW
-        x4 = np.expm1(np.arange(_Q4_CODES + 1) * (np.log1p(MU_LAW) / _Q4_CODES)) / MU_LAW
-        m = np.abs(x8[:, None] - x4[None, :]).argmin(axis=1).astype(np.uint8)
-        nib = np.where(k8 < 0, 0x8 | m, m).astype(np.uint8)
-        lut = np.zeros(256, np.uint8)
-        lut[k8 & 0xFF] = nib
-        _Q4_LUT = lut
-    return _Q4_LUT
+def q4_row_len(n: int, block: int = Q4_BLOCK) -> int:
+    """Transport-row bytes for an n-sample channel under the q4 DPCM
+    transport: packed 4-bit codes followed by one uint8 scale exponent per
+    block."""
+    return (n + 1) // 2 + (n + block - 1) // block
 
 
 class Q4NightExtractor(Q8NightExtractor):
-    """Packed 4-bit mu-law variant: the q8 digital-domain resample
-    requantized through ``_q4_requant_lut`` and packed two codes per byte —
-    sample 2i in the low nibble, 2i+1 in the high. Meta contract is Q8's
-    (n_valid/n_pad in UNPACKED sample units). The native path is one fused
-    C++ pass (``w2s_resample_q4``: the int16->q8->nibble chain composed
-    into a single LUT) — extraction IS the q4 pipeline's critical path on
-    the 1-core host, and the numpy requant+pack alone costs ~27 ms per
-    10 h night. The numpy fallback keeps the two-step formulation; both
-    are bit-identical (tests/test_pipeline.py::test_q4_pipeline_transport).
-    Scratch rows are pooled per signal: fresh large host allocations
-    page-fault at ~12 MB/s here."""
+    """Packed 4-bit block-DPCM variant of the quantized-grid transport.
+
+    Global-peak mu-law at 3 magnitude bits measures a real end-task tax
+    (docs/measurements/q8_quality_r4.json: acc -2.3%, kappa(q4,f32) 0.967,
+    flips at full decision margins — a spiky channel's global peak squeezes
+    the inter-beat baseline into the bottom levels), so the 4-bit rung
+    codes the PREDICTION RESIDUAL instead (scripts/q4_codebook_probe.py
+    measured the codec ladder; block DPCM cuts z-domain RMS ~4x):
+
+    - the channel is resampled onto the model grid in the digital domain
+      (same f64 lerp + rint as q16/q8);
+    - per block of ``Q4_BLOCK`` samples, a scale step s = 2^(e/16) is
+      chosen as the smallest table entry >= max(diff-peak/6, anchor-jump/
+      6.5), where the anchor A is the reconstruction of the previous
+      block's last sample (A=0 at night start);
+    - every sample quantizes INDEPENDENTLY against the block anchor,
+      c_j = rint((x_j - A)/s), and the wire codes are the first
+      differences k_0 = c_0, k_j = c_j - c_{j-1}. The scale rule bounds
+      |k| <= 7 (|c diff| <= pk/s + 1 <= 7; |c_0| <= 6.5 + 0.5), so codes
+      always fit a sign-magnitude nibble — a proof, not a clamp — and the
+      device decode is one global cumsum(k*s), with no sequential scan.
+
+    Row layout: ceil(n/2) packed code bytes (sample 2i low nibble) then
+    ceil(n/Q4_BLOCK) scale-exponent bytes; q4_row_len() sizes it. Meta
+    contract is Q8's (n_valid/n_pad in UNPACKED sample units; vmax keeps
+    the digital peak as a diagnostic — the decode no longer needs it).
+    The native path (w2s_resample_dpcm4) streams block-locally with no
+    full-grid scratch; the numpy fallback loops blocks (vectorized within)
+    and is bit-identical (tests/test_pipeline.py::test_q4_pipeline_transport).
+    """
 
     def __init__(
         self,
@@ -975,13 +983,15 @@ class Q4NightExtractor(Q8NightExtractor):
         n_grid: dict[str, int],
         max_length_hours: float = 10.0,
         use_native: bool = True,
+        block: int = Q4_BLOCK,
     ):
         super().__init__(signals, max_length_hours, use_native=use_native)
         self._n_grid = dict(n_grid)
-        self._q4_lut = np.ascontiguousarray(_q4_requant_lut())
-        # Fallback scratch: one unpacked int8 row + a nibble row padded to
-        # even length so the pack never reads an uninitialized half-byte.
-        self._srow = {c: np.zeros(self._n_grid[c], np.int8) for c in self.signals}
+        self.block = int(block)
+        self._exp8 = np.ascontiguousarray(_EXP8_SCALE)
+        # Fallback scratch: one nibble row padded to even length so the
+        # pack never reads an uninitialized half-byte (pooled: fresh large
+        # host allocations page-fault at ~12 MB/s here).
         self._snib = {
             c: np.zeros(self._n_grid[c] + (self._n_grid[c] & 1), np.uint8) for c in self.signals
         }
@@ -990,8 +1000,9 @@ class Q4NightExtractor(Q8NightExtractor):
         import ctypes
 
         n = self._n_grid[col]
+        K = self.block
         if self._lib is not None and dst.flags.c_contiguous:
-            n_valid = self._lib.w2s_resample_q4(
+            n_valid = self._lib.w2s_resample_dpcm4(
                 f._records,
                 f.header.n_records,
                 f._records.shape[1],
@@ -1000,45 +1011,74 @@ class Q4NightExtractor(Q8NightExtractor):
                 float(fs),
                 float(self._step[col]),
                 n,
-                self._q4_lut,
+                K,
+                self._exp8,
                 dst,
                 ctypes.byref(self._vmax_out),
             )
             return n_valid, self._vmax_out.value
-        srow = self._srow[col]
-        n_valid, vmax = super()._quantize_channel(f, ch, fs, col, srow)
+        lo = f._offsets[ch.index]
+        dig = np.ascontiguousarray(
+            f._records[:, lo : lo + ch.samples_per_record]
+        ).reshape(-1).astype(np.float64)
+        vmax = max(1.0, float(np.abs(dig).max()))
+        res, n_valid = _resample_digital_f64(dig, self._step[col] * fs, n)
+        x = np.rint(res[:n_valid])
+        mp = (n + 1) // 2
         nib = self._snib[col]
-        np.take(self._q4_lut, srow.view(np.uint8), out=nib[:n])
-        nib[n:] = 0
-        np.left_shift(nib[1::2], 4, out=dst)
-        np.bitwise_or(dst, nib[0::2], out=dst)
+        nib.fill(0)
+        dst[mp:] = 0
+        A = 0.0
+        for bi in range((n_valid + K - 1) // K):
+            row = x[bi * K : min((bi + 1) * K, n_valid)]
+            pk = float(np.abs(np.diff(row)).max()) if row.size > 1 else 0.0
+            need = max(pk / 6.0, abs(float(row[0]) - A) / 6.5)
+            e = min(int(np.searchsorted(_EXP8_SCALE, need, side='left')), 255)
+            s = _EXP8_SCALE[e]
+            c = np.rint((row - A) / s)
+            k = np.diff(c, prepend=0.0).astype(np.int64)
+            nib[bi * K : bi * K + row.size] = np.where(k < 0, 0x8 | (-k), k).astype(np.uint8)
+            dst[mp + bi] = e
+            A += float(c[-1]) * s
+        np.left_shift(nib[1::2], 4, out=dst[:mp])
+        np.bitwise_or(dst[:mp], nib[0::2], out=dst[:mp])
         return n_valid, vmax
 
 
 def make_streaming_forward_q4(
-    model, n_grid: dict[str, int], precision: str = 'bfloat16', output: str = 'argmax'
+    model,
+    n_grid: dict[str, int],
+    precision: str = 'bfloat16',
+    output: str = 'argmax',
+    block: int = Q4_BLOCK,
 ) -> Callable:
-    """Jitted forward over packed 4-bit mu-law codes: nibble unpack (two
-    shifts + an interleave — all elementwise, no gather), sign-magnitude
-    7-step mu-law expand, affine, validity mask, z-score, model."""
+    """Jitted forward over packed 4-bit DPCM codes: nibble unpack (two
+    shifts + an interleave), sign-magnitude residual, per-block scale
+    expand (elementwise exp2 — no gather), one cumsum (log-depth
+    associative scan on TPU), affine, validity mask, z-score, model."""
     import jax
     import jax.numpy as jnp
 
     dtype = jnp.bfloat16 if precision == 'bfloat16' else jnp.float32
-    log1p_mu = float(np.log1p(MU_LAW))
 
     @jax.jit
     def forward(variables, q, a, b, vmax, n_valid, n_pad, present):
         x = {}
         for col, r in q.items():
-            p = r.astype(jnp.int32)
+            n = n_grid[col]
+            mp = (n + 1) // 2
+            nbk = (n + block - 1) // block
+            p = r[:, :mp].astype(jnp.int32)
             nib = jnp.stack([p & 0xF, p >> 4], axis=-1).reshape(r.shape[0], -1)
-            nib = nib[:, : n_grid[col]]
-            mag = (nib & 7).astype(jnp.float32)
-            sgn = 1.0 - 2.0 * (nib >> 3).astype(jnp.float32)
-            dig = sgn * jnp.expm1(mag * (log1p_mu / _Q4_CODES)) * (vmax[col][:, None] / MU_LAW)
+            nib = nib[:, :n]
+            k = ((1 - 2 * (nib >> 3)) * (nib & 7)).astype(jnp.float32)
+            s = jnp.exp2(r[:, mp : mp + nbk].astype(jnp.float32) / 16.0)
+            step = jnp.broadcast_to(
+                s[:, :, None], (r.shape[0], nbk, block)
+            ).reshape(r.shape[0], nbk * block)[:, :n]
+            dig = jnp.cumsum(k * step, axis=-1)
             v = dig * a[col][:, None] + b[col][:, None]
-            iot = jnp.arange(n_grid[col], dtype=jnp.int32)
+            iot = jnp.arange(n, dtype=jnp.int32)
             v = jnp.where(iot[None, :] < n_valid[col][:, None], v, 0.0)
             z = _masked_zscore(v, iot[None, :] < n_pad[col][:, None], dtype)
             x[col] = jnp.where(present[col][:, None], z, jnp.asarray(-jnp.inf, dtype))
@@ -1051,10 +1091,11 @@ def make_streaming_forward_q4(
 
 
 class StreamingPipelineQ4(StreamingPipelineQ16):
-    """Packed 4-bit mu-law transport (see Q4NightExtractor): half the q8
-    bytes, an eighth of f32 — for links where bytes set the throughput
-    slope and the measured q4 quality tax (docs/design.md ladder) is
-    acceptable. q8 stays the default serving rung."""
+    """Packed 4-bit block-DPCM transport (see Q4NightExtractor): ~52% of
+    the q8 bytes (codes halve; scales add 1/Q4_BLOCK per sample), for
+    links where bytes set the throughput slope. Quality sits between q8
+    and the retired global-mu-law 4-bit codec (docs/design.md ladder);
+    q8 stays the default serving rung."""
 
     transport_dtype = np.uint8
 
@@ -1063,7 +1104,7 @@ class StreamingPipelineQ4(StreamingPipelineQ16):
         return Q8_META_DTYPE
 
     def _transport_len(self, col: str) -> int:
-        return (self._n_grid[col] + 1) // 2
+        return q4_row_len(self._n_grid[col])
 
     def _make_forward(self, model, precision: str) -> Callable:
         return make_streaming_forward_q4(model, self._n_grid, precision=precision)
