@@ -151,8 +151,9 @@ def main():
         help=(
             'q16: host fused resample to grid-aligned int16, device affine+model '
             '(no gather); q8: same but mu-law int8 transport (half the bytes, '
-            '~bf16-grade precision); q4: packed 4-bit mu-law (half of q8 again; '
-            'measured quality tax, see docs/design.md); raw: ship raw int16 + '
+            '~bf16-grade precision); q4: packed 4-bit block-DPCM residual codes '
+            '(~52% of the q8 bytes; quality measured by scripts/q8_quality.py); '
+            'raw: ship raw int16 + '
             'resample on device; f32: host decode/resample to float32'
         ),
     )
