@@ -1,15 +1,21 @@
 #!/usr/bin/env python
 """Convergence-scale training drive: the full production loop, run to
-early-stopping completion on real hardware (VERDICT r3 next-round item 2).
+early-stopping completion on real hardware (VERDICT r3 item 2, r4 item 3/4).
 
 Everything prior rounds only exercised for 1-2 epochs fires for real here:
-early stopping (patience 5) must actually trigger, the plateau LR
-controller must step, the EMA eval-swap and best-vs-last checkpoint
-selection must run over tens of epochs, the full eval matrix runs every
-epoch, and the best checkpoint is exported and reloaded through the
-public API at the end. Reference role: a full ``scripts/train.py`` fit of
-the upstream repo (/root/reference/scripts/train.py:88-105) driven by its
-hydra config with Lightning EarlyStopping/ModelCheckpoint callbacks.
+early stopping (patience 5) must actually trigger BEFORE the epoch cap, the
+plateau LR controller must step (and the logged ``lr`` values must show it),
+the EMA eval-swap and best-vs-last checkpoint selection must run over tens
+of epochs with best != last, the full eval matrix runs every epoch, and the
+best checkpoint is exported and reloaded through the public API at the end.
+Reference role: a full ``scripts/train.py`` fit of the upstream repo
+(/root/reference/scripts/train.py:88-105) driven by its hydra config with
+Lightning EarlyStopping/ModelCheckpoint callbacks + LearningRateMonitor.
+
+The default corpus uses the difficulty knobs (``--label-noise`` /
+``--overlap``, data/synth.py): label flips put an irreducible floor under
+val_loss so it genuinely plateaus — on the easy corpus (r4) val_loss fell
+monotonically all 60 epochs and none of the selection machinery ever fired.
 
 Two phases:
 
@@ -23,9 +29,13 @@ default (TPU): drive ``scripts/train.py``'s ``main()`` on that corpus with
 the production knobs (plateau scheduler, EMA with eval-swap, early stopping
 patience 5, test pass, best-checkpoint restore + export), then reload the
 exported checkpoint via the public API and re-score the test nights.
-Artifacts (metrics.jsonl, summary + final kappa table) are copied to
-``docs/measurements/convergence_drive_r4/`` — ``runs/`` is gitignored, the
-evidence must live somewhere inspectable.
+Artifacts (metrics.jsonl, summary + final kappa table + selection evidence)
+are copied to ``--out`` — ``runs/`` is gitignored, the evidence must live
+somewhere inspectable.
+
+``--signals eog`` switches everything to the second released-variant
+topology (reference src/wav2sleep/hub.py:17-23): EOG-L/EOG-R at 4,096
+samples/epoch, 5-class labels, ``inputs=neural/eog``.
 """
 
 from __future__ import annotations
@@ -47,11 +57,14 @@ logger = logging.getLogger('convergence_drive')
 # stage codes as scored in annotation XMLs: Light is scored N2 (2), Deep N3
 # (3), REM carries raw code 5 (data/utils.py convert_int_stage maps 5 -> 4).
 SYNTH_TO_NSRR = {0: 0, 1: 2, 2: 3, 3: 5}
+# 5-class EOG stages (Wake/N1/N2/N3/REM) -> raw NSRR codes (REM scored 5).
+SYNTH_TO_NSRR_5 = {0: 0, 1: 1, 2: 2, 3: 3, 4: 5}
 
 
-def write_nsrr_xml(fp: str, stages) -> None:
+def write_nsrr_xml(fp: str, stages, stage_map=None) -> None:
     """NSRR-format annotation XML for one night (30 s epochs, run-length
     encoded like real NSRR exports; format pinned by data/xml.py's parser)."""
+    stage_map = SYNTH_TO_NSRR if stage_map is None else stage_map
     parts = [
         '<Events>',
         '<ScoredEvent>',
@@ -73,7 +86,7 @@ def write_nsrr_xml(fp: str, stages) -> None:
         parts.append(
             '<ScoredEvent>\n'
             '<EventType>Stages.Stages</EventType>\n'
-            f'<EventConcept>Stage|{SYNTH_TO_NSRR[stage]}</EventConcept>\n'
+            f'<EventConcept>Stage|{stage_map[stage]}</EventConcept>\n'
             f'<Start>{t:g}</Start>\n'
             f'<Duration>{dur:g}</Duration>\n'
             '</ScoredEvent>'
@@ -84,20 +97,23 @@ def write_nsrr_xml(fp: str, stages) -> None:
         f.write('\n'.join(parts))
 
 
-def prepare(root: str, nights: int, hours: float, seed: int) -> None:
+def prepare(root: str, nights: int, hours: float, seed: int, args) -> None:
     """Synth EDF+XML pairs -> real ingest -> split-partitioned parquet.
 
-    Nights are seeded per-index (seed, i) so the corpus is resume-safe.
-    The committed r4 drive (docs/measurements/convergence_drive_r4/) was
-    generated before this change with a single sequential stream, in one
-    uninterrupted run; regenerating with the current code yields a
-    different (equally realistic) corpus.
+    Nights are seeded per-index (seed, i) so the corpus is resume-safe: an
+    interrupted --prepare that resumes (skipping existing parquets) produces
+    bit-identical nights to a fresh uninterrupted run of the same seed.
     """
     import numpy as np
 
-    from wav2sleep_tpu.data.synth import synth_night, write_night_edf
+    from wav2sleep_tpu.data.synth import synth_night, synth_night_eog, write_night_edf
     from wav2sleep_tpu.ingest import process_night
-    from wav2sleep_tpu.settings import ABD, ECG, PPG, THX
+    from wav2sleep_tpu.settings import ABD, ECG, EOG_L, EOG_R, PPG, THX
+
+    if args.signals == 'eog':
+        gen, columns, stage_map = synth_night_eog, [EOG_L, EOG_R], SYNTH_TO_NSRR_5
+    else:
+        gen, columns, stage_map = synth_night, [ECG, PPG, ABD, THX], SYNTH_TO_NSRR
 
     n_val = n_test = max(2, nights // 8)
     n_train = nights - n_val - n_test
@@ -110,17 +126,17 @@ def prepare(root: str, nights: int, hours: float, seed: int) -> None:
         out_fp = os.path.join(root, 'data', 'mesa', split, f'night{i:04d}.parquet')
         if os.path.exists(out_fp):
             continue
-        # Per-night RNG keyed on (seed, i): an interrupted --prepare that
-        # resumes (skipping existing parquets) produces bit-identical
-        # nights to a fresh uninterrupted run of the same seed. A single
-        # shared stream would desynchronize on resume — skipped nights
-        # would not advance it.
-        signals, stages = synth_night(np.random.default_rng((seed, i)), hours)
+        signals, stages = gen(
+            np.random.default_rng((seed, i)),
+            hours,
+            overlap=args.overlap,
+            label_noise=args.label_noise,
+        )
         edf_fp = os.path.join(edf_dir, f'night{i:04d}.edf')
         xml_fp = os.path.join(edf_dir, f'night{i:04d}-nsrr.xml')
         write_night_edf(edf_fp, signals)
-        write_nsrr_xml(xml_fp, stages)
-        ok = process_night(edf_fp, xml_fp, out_fp, columns=[ECG, PPG, ABD, THX])
+        write_nsrr_xml(xml_fp, stages, stage_map)
+        ok = process_night(edf_fp, xml_fp, out_fp, columns=columns)
         if not ok:
             raise RuntimeError(f'ingest failed for night {i} ({split})')
         # EDFs are only scaffolding for the ingest; keep the disk bounded.
@@ -137,56 +153,93 @@ def prepare(root: str, nights: int, hours: float, seed: int) -> None:
     print(f'[prepare] done: {nights} nights under {root}/data in {time.time() - t0:.0f}s', flush=True)
 
 
-def drive(root: str, epochs: int, seed: int, batch_size: int, extra: list[str]) -> dict:
+def drive(root: str, args, extra: list[str]) -> dict:
     import importlib.util
 
     spec = importlib.util.spec_from_file_location('train_cli', os.path.join(REPO, 'scripts', 'train.py'))
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
 
+    inputs = 'neural/eog' if args.signals == 'eog' else 'cardiorespiratory/all'
     os.environ['WAV2SLEEP_DATA'] = os.path.join(root, 'data')
     os.environ['WAV2SLEEP_STORAGE'] = os.path.join(root, 'storage')
     t0 = time.time()
-    final = mod.main(
-        [
-            'name=r4_convergence_drive',
-            'datasets=mesa',
-            'inputs=cardiorespiratory/all',
-            f'seed={seed}',
-            f'epochs={epochs}',
-            f'batch_size={batch_size}',
-            f'target_batch_size={batch_size}',
-            'training/scheduler=decay',  # ReduceLROnPlateau role (name: plateau)
-            'training.ema.enabled=true',
-            'training.ema.decay=0.999',
-            'training.ema.start_step=50',
-            'training.val_batch_size=8',
-            'training.test_batch_size=8',
-            'test=true',
-            'restore_best=true',
-            'precision=bfloat16',
-            'input_transport=q8',
-            'num_cpus=1',
-            *extra,
-        ]
-    )
+    overrides = [
+        f'name={args.name}',
+        'datasets=mesa',
+        f'inputs={inputs}',
+        f'seed={args.seed}',
+        f'epochs={args.epochs}',
+        f'batch_size={args.batch_size}',
+        f'target_batch_size={args.batch_size}',
+        'training/scheduler=decay',  # ReduceLROnPlateau role (name: plateau)
+        'training.ema.enabled=true',
+        'training.ema.decay=0.999',
+        'training.ema.start_step=50',
+        'training.val_batch_size=8',
+        'training.test_batch_size=8',
+        'test=true',
+        'restore_best=true',
+        'precision=bfloat16',
+        'input_transport=q8',
+        'num_cpus=1',
+    ]
+    if args.signals == 'eog':
+        overrides.append('num_classes=5')
+    final = mod.main(overrides + extra)
     final['drive_wall_seconds'] = round(time.time() - t0, 1)
     return final
 
 
-def collect(root: str, final: dict, out_dir: str) -> None:
+def selection_evidence(metrics_fp: str, epoch_cap: int) -> dict:
+    """Distil the per-epoch log into the three claims this harness exists to
+    prove (VERDICT r4 item 3): early stopping fired before the cap, the
+    plateau controller reduced the LR (visible in the logged ``lr`` values,
+    the LRMonitor role), and the best epoch is not the last one."""
+    epochs = {}
+    with open(metrics_fp) as f:
+        for line in f:
+            row = json.loads(line)
+            epochs.setdefault(row['step'], {}).update(row)
+    val = {e: r['val_loss'] for e, r in sorted(epochs.items()) if 'val_loss' in r}
+    lr = {e: r['lr'] for e, r in sorted(epochs.items()) if 'lr' in r}
+    if not val:
+        raise RuntimeError(f'no val_loss rows in {metrics_fp}')
+    last_epoch = max(val)
+    best_epoch = min(val, key=val.get)
+    lr_values = sorted(set(lr.values()), reverse=True)
+    reductions = [e for e in sorted(lr)[1:] if lr[e] < lr[e - 1] * 0.999]
+    return {
+        'epochs_run': last_epoch + 1,
+        'epoch_cap': epoch_cap,
+        'early_stopped': last_epoch + 1 < epoch_cap,
+        'best_epoch': best_epoch,
+        'last_epoch': last_epoch,
+        'best_is_last': best_epoch == last_epoch,
+        'best_val_loss': round(val[best_epoch], 6),
+        'last_val_loss': round(val[last_epoch], 6),
+        'distinct_lr_values': [round(v, 8) for v in lr_values],
+        'lr_reduction_epochs': reductions,
+        'plateau_lr_reduced': len(lr_values) > 1,
+    }
+
+
+def collect(root: str, final: dict, args) -> dict:
     """Copy the run's evidence into the repo (runs/ itself is gitignored)."""
     import glob
 
     import numpy as np
 
+    out_dir = args.out
     os.makedirs(out_dir, exist_ok=True)
-    run_dirs = sorted(glob.glob(os.path.join(root, 'storage', 'logs', 'r4_convergence_drive', '*', '*')))
+    run_dirs = sorted(glob.glob(os.path.join(root, 'storage', 'logs', args.name, '*', '*')))
     run_dir = run_dirs[-1]
     for name in ('metrics.jsonl', 'config.yaml'):
         src = os.path.join(run_dir, name)
         if os.path.exists(src):
             shutil.copy(src, os.path.join(out_dir, name))
+
+    evidence = selection_evidence(os.path.join(run_dir, 'metrics.jsonl'), args.epochs)
 
     # Re-score the exported best checkpoint through the PUBLIC api on the
     # held-out test nights: the deployment artifact, not the in-process
@@ -215,6 +268,15 @@ def collect(root: str, final: dict, out_dir: str) -> None:
     acc = float(np.trace(cmat) / max(cmat.sum(), 1))
     kappa = float(cohens_kappa(cmat, n_classes))
     summary = {
+        'signals': args.signals,
+        'num_classes': n_classes,
+        'corpus': {
+            'nights': args.nights,
+            'hours': args.hours,
+            'label_noise': args.label_noise,
+            'overlap': args.overlap,
+        },
+        'selection': evidence,
         'final_metrics': final,
         'exported_checkpoint_test': {
             'nights': len(test_fps),
@@ -227,31 +289,48 @@ def collect(root: str, final: dict, out_dir: str) -> None:
     }
     with open(os.path.join(out_dir, 'summary.json'), 'w') as f:
         json.dump(summary, f, indent=2)
-    print(json.dumps(summary['exported_checkpoint_test']), flush=True)
+    print(json.dumps({'selection': evidence, **summary['exported_checkpoint_test']}), flush=True)
+    return summary
 
 
-def main() -> None:
+def main(argv=None) -> dict | None:
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument('--root', default=os.path.join(REPO, '.cache', 'convergence_drive'))
+    ap.add_argument('--root', default=os.path.join(REPO, '.cache', 'convergence_drive_r5'))
+    ap.add_argument('--name', default='r5_convergence_drive', help='run name (storage/logs subdir)')
     ap.add_argument('--nights', type=int, default=128)
     ap.add_argument('--hours', type=float, default=10.0)
     ap.add_argument('--epochs', type=int, default=60)
     ap.add_argument('--batch-size', type=int, default=4)
     ap.add_argument('--seed', type=int, default=0)
+    ap.add_argument('--signals', default='cardio', choices=['cardio', 'eog'])
+    ap.add_argument(
+        '--label-noise',
+        type=float,
+        default=0.12,
+        help='fraction of epochs whose LABEL is re-scored to a random other '
+        'stage (signals stay true): puts an irreducible floor under val_loss',
+    )
+    ap.add_argument(
+        '--overlap',
+        type=float,
+        default=0.0,
+        help='0..1 blend of per-stage physiology toward the mean (lowers the '
+        'accuracy ceiling; see data/synth.py)',
+    )
     ap.add_argument('--prepare', action='store_true', help='corpus phase only (CPU)')
     ap.add_argument(
         '--out',
-        default=os.path.join(REPO, 'docs', 'measurements', 'convergence_drive_r4'),
+        default=os.path.join(REPO, 'docs', 'measurements', 'convergence_drive_r5'),
         help='where the committed evidence lands',
     )
-    args, extra = ap.parse_known_args()
+    args, extra = ap.parse_known_args(argv)
     logging.basicConfig(level=logging.INFO)
     if args.prepare:
-        prepare(args.root, args.nights, args.hours, args.seed)
-        return
-    final = drive(args.root, args.epochs, args.seed, args.batch_size, extra)
+        prepare(args.root, args.nights, args.hours, args.seed, args)
+        return None
+    final = drive(args.root, args, extra)
     print('FINAL', json.dumps(final), flush=True)
-    collect(args.root, final, args.out)
+    return collect(args.root, final, args)
 
 
 if __name__ == '__main__':

@@ -79,6 +79,22 @@ def build_parser() -> argparse.ArgumentParser:
         'transport (ops/q8_transport.py) before the training loop, to A/B '
         'the end-task cost of input_transport=q8 (same seeds/rng either way)',
     )
+    parser.add_argument(
+        '--label-noise',
+        type=float,
+        default=0.0,
+        help='corpus difficulty: fraction of epoch labels re-scored to a '
+        'random other stage (data/synth.py). Use with --overlap to measure '
+        'transport deltas at sub-ceiling accuracy (the default easy corpus '
+        'saturates at ~0.998 eval acc, compressing every delta).',
+    )
+    parser.add_argument(
+        '--overlap',
+        type=float,
+        default=0.0,
+        help='corpus difficulty: 0..1 blend of per-stage physiology toward '
+        'the mean (shrinks class separability; data/synth.py)',
+    )
     return parser
 
 
@@ -124,8 +140,9 @@ def setup_and_train(args):
     eval_dir = os.path.join(tmp, 'eval')
     os.makedirs(train_dir)
     os.makedirs(eval_dir)
-    train_fps, train_y = write_nights(train_dir, args.train_nights, args.hours, seed=0)
-    eval_fps, eval_y = write_nights(eval_dir, args.eval_nights, args.hours, seed=1)
+    knobs = dict(overlap=args.overlap, label_noise=args.label_noise)
+    train_fps, train_y = write_nights(train_dir, args.train_nights, args.hours, seed=0, **knobs)
+    eval_fps, eval_y = write_nights(eval_dir, args.eval_nights, args.hours, seed=1, **knobs)
     print('# corpus written; decoding...', file=sys.stderr)
     n_grid = {c: len(signal_target_grid(c, args.hours)) for c in signals}
 
@@ -245,6 +262,8 @@ def setup_and_train(args):
     base = {
         'nights': args.eval_nights,
         'epochs': epochs,
+        'label_noise': args.label_noise,
+        'overlap': args.overlap,
         'train_transport': args.train_transport,
         'train_steps': args.train_steps,
         'selected_step': best['step'],

@@ -39,7 +39,18 @@ def build_parser() -> argparse.ArgumentParser:
         help='Checkpoint folder or hf:// repo (default: released cardio-respiratory model).',
     )
     parser.add_argument('--signals', default=None, help='Comma-separated subset of the model signals.')
-    parser.add_argument('--transport', default='q16', choices=['q8', 'q16', 'q4', 'raw', 'f32'])
+    parser.add_argument(
+        '--transport',
+        default='q16',
+        choices=['q8', 'q16', 'q4', 'raw', 'f32'],
+        help='Host->device input encoding. q16 (default) is visually lossless '
+        '(<=0.5 LSB of the EDF\'s own quantization); q8 (mu-law int8) halves '
+        'the bytes again with a small measured accuracy tax; q4 (packed 4-bit '
+        'block-DPCM) is for severely link-bound deployments ONLY - its '
+        'hypnogram flips are NOT confined to near-tie epochs (see the '
+        'transport ladder + quality table in docs/design.md and '
+        'docs/measurements/q8_quality_r5.json before choosing it).',
+    )
     parser.add_argument('--precision', default='bfloat16', choices=['float32', 'bfloat16'])
     parser.add_argument('--batch-size', type=int, default=8)
     parser.add_argument('--max-length-hours', type=float, default=10.0)

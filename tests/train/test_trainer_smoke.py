@@ -392,6 +392,43 @@ def test_set_lr_scale_is_functional(corpus, tmp_path):
     assert get_scale(t2.state.opt_state) == 0.25
 
 
+def test_lr_value_logged_to_metrics(corpus, tmp_path):
+    """metrics.jsonl carries the actual LR value (the reference LRMonitor
+    role, scripts/config/training/callbacks/lr_monitor.yaml) plus the
+    host-loader fraction, and under the plateau scheduler the logged LR
+    reflects the controller's scale reductions."""
+    import json as _json
+
+    t = make_trainer(corpus, tmp_path / 'lr_run', epochs=2, scheduler='plateau')
+    t.fit()
+    rows = [
+        _json.loads(line)
+        for line in open(os.path.join(t.log_dir, 'metrics.jsonl'))
+    ]
+    train_rows = [r for r in rows if 'lr' in r]
+    assert len(train_rows) == 2
+    for r in train_rows:
+        assert r['lr'] == pytest.approx(3e-3)  # scale 1.0 while improving
+        assert 0.0 <= r['host_loader_frac'] <= 1.0
+    # Force the controller past patience: the next logged LR must drop.
+    for _ in range(t.plateau.patience + 1):
+        t.plateau.update(1e9)
+    assert t.current_lr() == pytest.approx(3e-3 * t.plateau.factor)
+
+    # expdecay: host-side recomputation matches the optax schedule at the
+    # applied-step count, in both the warmup and the decay regime.
+    from wav2sleep_tpu.train.scheduler import exp_warmup_schedule
+
+    t2 = make_trainer(corpus, tmp_path / 'lr_run2', epochs=1, warmup_steps=1, tau=10.0)
+    t2.fit()
+    applied = int(t2.state.step)
+    assert applied > t2.warmup_steps  # past warmup -> decay regime
+    sched = exp_warmup_schedule(t2.lr, t2.warmup_steps, t2.tau)
+    assert t2.current_lr() == pytest.approx(float(sched(applied - 1)), rel=1e-6)
+    t2.warmup_steps = applied + 50  # warmup regime re-check, same state
+    assert t2.current_lr() == pytest.approx(t2.lr * applied / (applied + 50), rel=1e-6)
+
+
 def test_ema_offload_matches_in_graph(corpus, tmp_path):
     """CPU-offloaded EMA (reference EMACallback offload_to_cpu role) produces
     the same averaged weights as the in-graph EMA, and survives a checkpoint

@@ -1093,9 +1093,10 @@ def make_streaming_forward_q4(
 class StreamingPipelineQ4(StreamingPipelineQ16):
     """Packed 4-bit block-DPCM transport (see Q4NightExtractor): ~52% of
     the q8 bytes (codes halve; scales add 1/Q4_BLOCK per sample), for
-    links where bytes set the throughput slope. Quality sits between q8
-    and the retired global-mu-law 4-bit codec (docs/design.md ladder);
-    q8 stays the default serving rung."""
+    links where bytes set the throughput slope. End-task quality of THIS
+    codec (block-DPCM, not the retired global-mu-law 4-bit codec) is
+    measured in docs/measurements/q8_quality_r5.json and summarized in
+    docs/design.md's transport ladder; q8 stays the default serving rung."""
 
     transport_dtype = np.uint8
 

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import json
 import logging
+import math
 import os
 import time
 from dataclasses import dataclass, field
@@ -463,7 +464,15 @@ class Trainer:
             self._drain_host_ema()
 
         host_it = iter(self._progress(self.datamodule.train_loader(epoch), f'train e{epoch}'))
+        # Host-loader time: seconds this (single-core) host spends producing
+        # batches — parquet read, decode, collate, transport encode — as a
+        # fraction of the epoch. Compute dispatch is async, so any host
+        # fraction under ~1.0 still keeps the chip fed; sustained values
+        # near 1.0 mean the loader, not the device, sets the step time.
+        t_host = 0.0
+        th0 = time.time()
         nxt = next(host_it, None)
+        t_host += time.time() - th0
         dev = self._stage_batch(*nxt) if nxt is not None else None
         # Host-side mirror of state.step for the EMA start gate: reading
         # int(self.state.step) per step would block on the just-dispatched
@@ -473,7 +482,9 @@ class Trainer:
             state, metrics = self._jit_train(self.state, dev, step_rng)
             self.state = state
             last = self.max_steps_per_epoch and n + 1 >= self.max_steps_per_epoch
+            th0 = time.time()
             nxt = None if last else next(host_it, None)
+            t_host += time.time() - th0
             dev = self._stage_batch(*nxt) if nxt is not None else None
             if self._host_ema is not None:
                 self._enqueue_host_ema(ema_step0 + n)
@@ -491,10 +502,37 @@ class Trainer:
             'train_loss': loss,
             'train_steps_per_sec': n / max(elapsed, 1e-9),
             'lr_step': int(self.state.step),
+            # The actual learning-rate VALUE, not just the step counter —
+            # the reference's LRMonitor callback role (scripts/config/
+            # training/callbacks/lr_monitor.yaml): this is what lets a run's
+            # metrics.jsonl show the plateau controller reducing the LR.
+            'lr': self.current_lr(),
+            'host_loader_frac': round(t_host / max(elapsed, 1e-9), 4),
         }
         self.metrics_logger.log(out, step=epoch)
         self.metrics_logger.log_confusion(cmat, epoch, prefix=f'{TRAIN}_all')
         return out
+
+    def current_lr(self) -> float:
+        """Effective learning rate of the most recent optimizer update,
+        recomputed host-side (no device fetch). 'expdecay' re-evaluates the
+        warmup/decay schedule at the applied-optimizer-step count (micro
+        steps / accumulation factor — gradient accumulation holds the LR
+        across the k micro-steps of one update, so the count matches what
+        optax's inner schedule saw); 'plateau' is the base LR times the
+        controller's current scale. Reference role: the LearningRateMonitor
+        callback (scripts/config/training/callbacks/lr_monitor.yaml)."""
+        if self.plateau is not None:
+            return float(self.lr * self.plateau.scale)
+        if self.scheduler != 'expdecay':
+            return float(self.lr)
+        k = max(1, self.accumulate_grad_batches)
+        # exp_warmup_schedule evaluates at count+1; the most recent update
+        # had 0-based count (applied_steps - 1), i.e. 1-based step = applied.
+        step = max(int(self.state.step) // k, 1)
+        if step <= self.warmup_steps:
+            return float(self.lr * step / self.warmup_steps)
+        return float(self.lr * math.exp(-(step - self.warmup_steps) / self.tau))
 
     def _release_ring(self) -> None:
         """Release the staging ring's device references: without this the
