@@ -98,6 +98,41 @@ def test_ingest_end_to_end(tmp_path):
     assert y.shape == (1200,)
 
 
+def test_array_path_matches_dataframe_path(tmp_path):
+    """process_night's array-native hot path (load_edf_arrays ->
+    process_waveform_arrays) must be bit-identical to the reference-contract
+    DataFrame path (load_edf_data -> process_waveform_dataframe), which it
+    replaced for the ~16 s/night union-index cost."""
+    from wav2sleep_tpu.data.edf import load_edf_arrays, load_edf_data
+    from wav2sleep_tpu.data.preprocessing import (
+        process_waveform_arrays,
+        process_waveform_dataframe,
+    )
+    from wav2sleep_tpu.data.synth import synth_night, write_night_edf
+
+    fp = str(tmp_path / 'night.edf')
+    signals, _ = synth_night(np.random.default_rng(5), 0.5)
+    write_night_edf(fp, signals)
+    cols = ['ECG', 'PPG', 'ABD', 'THX']
+
+    df, meta_df = load_edf_data(fp, columns=cols, raise_on_missing=False)
+    ref = process_waveform_dataframe(df, columns=cols)
+    arrays, meta_arr, _ = load_edf_arrays(fp, columns=cols, raise_on_missing=False)
+    fast = process_waveform_arrays(arrays, columns=cols)
+
+    assert meta_df == meta_arr
+    pd.testing.assert_frame_equal(ref, fast)
+    # Flat-PPG QC agrees between the twins (pandas ddof=1 std semantics).
+    from wav2sleep_tpu.ingest import check_and_drop_flat_arrays, check_and_drop_flat_signals
+
+    flat = {**arrays, 'PPG': (np.zeros_like(arrays['PPG'][0]), arrays['PPG'][1])}
+    flat_df = df.copy()
+    flat_df['PPG'] = np.where(np.isnan(flat_df['PPG']), np.nan, 0.0)
+    _, _, dropped_a = check_and_drop_flat_arrays(flat, dict(meta_arr))
+    _, _, dropped_d = check_and_drop_flat_signals(flat_df, dict(meta_df))
+    assert dropped_a == dropped_d == ['PPG']
+
+
 def test_sleep_wake_only_quarantined(tmp_path):
     ds_folder = make_mesa_like(tmp_path / 'raw', n_nights=1, stages=(0, 2, 0, 2, 0, 2))
     out = tmp_path / 'processed'

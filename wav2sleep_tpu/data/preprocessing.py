@@ -169,3 +169,36 @@ def process_waveform_dataframe(
     if timestamp:
         out.index = df_start + pd.to_timedelta(out.index, unit='s')
     return out
+
+
+def process_waveform_arrays(
+    arrays: dict[str, tuple[np.ndarray, float]],
+    columns: list[str],
+    max_length_hours: float = TRAINING_LENGTH_HOURS,
+) -> pd.DataFrame:
+    """Array-native twin of ``process_waveform_dataframe`` for the offline
+    ingest hot path: consumes ``load_edf_arrays`` output directly and skips
+    the union-index DataFrame round-trip entirely. ``load_edf_data`` concats
+    every raw channel onto the union of their float second-grids (~14M rows
+    for a 10 h cardio night) only for the resampler to immediately un-merge
+    it per column via the NaN mask — measured at ~16 of 21 s/night on the
+    1-core ingest host. Output is bit-identical to the DataFrame path
+    (pinned by tests/data/test_ingest.py::test_array_path_matches_dataframe_path):
+    each channel's (t, v) pairs survive the union round-trip unchanged, so
+    the interpolation sees the same inputs either way.
+    """
+    signals = []
+    for col in columns:
+        if col not in arrays:
+            continue
+        sig, fs = arrays[col]
+        t = np.arange(len(sig), dtype=np.float64)
+        t /= fs
+        grid = signal_target_grid(col, max_length_hours)
+        resampled = interp_to_grid(
+            t, sig.astype(np.float64, copy=False), grid, interior_only=True, fill_value=0.0
+        )
+        signals.append(pd.Series(resampled.astype(np.float32), index=pd.Index(grid), name=col))
+    if not signals:
+        raise ValueError(f'None of {columns} present in arrays with keys {list(arrays)}')
+    return pd.concat(signals, axis=1).astype(np.float32)

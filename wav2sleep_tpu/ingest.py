@@ -16,12 +16,13 @@ import logging
 import os
 from glob import glob
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-from .data.edf import INV_ALT_UNIT_NAMES, VOLTAGE_SIGNALS, load_edf_data
-from .data.preprocessing import EDF_COLS, TARGET_LABEL_INDEX, process_waveform_dataframe
+from .data.edf import INV_ALT_UNIT_NAMES, VOLTAGE_SIGNALS, load_edf_arrays
+from .data.preprocessing import EDF_COLS, TARGET_LABEL_INDEX, process_waveform_arrays
 from .data.txt import parse_txt_annotations
 from .data.xml import parse_xml_annotations
 from .settings import CCSHS, CFS, CHAT, INGEST, MESA, MROS, PPG, SHHS, WSC
@@ -62,6 +63,28 @@ def check_and_drop_flat_signals(
                 signal_metadata.pop(sig_name, None)
                 dropped.append(sig_name)
     return edf, signal_metadata, dropped
+
+
+def check_and_drop_flat_arrays(
+    arrays: dict[str, tuple],
+    signal_metadata: dict[str, dict],
+    signals_to_check: list[str] | None = None,
+) -> tuple[dict[str, tuple], dict[str, dict], list[str]]:
+    """Array-native twin of ``check_and_drop_flat_signals`` (same PPG-flat
+    QC, same ddof=1 std as pandas) for the ``load_edf_arrays`` ingest path."""
+    if signals_to_check is None:
+        signals_to_check = [PPG]
+    dropped = []
+    for sig_name in signals_to_check:
+        if sig_name in arrays:
+            sig = arrays[sig_name][0]
+            std = float(np.std(sig, ddof=1)) if len(sig) > 1 else 0.0
+            if std < MIN_SIGNAL_STD:
+                logger.warning(f'Dropping flat signal {sig_name} (std={std:.6f})')
+                arrays = {k: v for k, v in arrays.items() if k != sig_name}
+                signal_metadata.pop(sig_name, None)
+                dropped.append(sig_name)
+    return arrays, signal_metadata, dropped
 
 
 def process_night(
@@ -106,16 +129,19 @@ def process_night(
     else:
         labels = None
 
-    edf, signal_metadata = load_edf_data(edf_fp, columns=columns, raise_on_missing=False)
+    # Array-native load + resample (process_waveform_arrays): same QC and
+    # bit-identical parquet as the load_edf_data -> process_waveform_dataframe
+    # contract path, minus its ~16 s/night union-index round-trip.
+    arrays, signal_metadata, _start = load_edf_arrays(edf_fp, columns=columns, raise_on_missing=False)
     invalid_voltage = check_voltage_signal_units(signal_metadata)
     if invalid_voltage:
         logger.warning(f'{edf_fp}: Invalid units for voltage signals: {invalid_voltage}')
         # Idempotent: a night failing BOTH QC checks must not become
         # '.issues.issues.parquet'.
         output_fp = quarantine_fp
-    edf, signal_metadata, _dropped = check_and_drop_flat_signals(edf, signal_metadata)
+    arrays, signal_metadata, _dropped = check_and_drop_flat_arrays(arrays, signal_metadata)
 
-    waveform_df = process_waveform_dataframe(edf, columns=columns)
+    waveform_df = process_waveform_arrays(arrays, columns=columns)
     output_df = waveform_df if labels is None else pd.concat([waveform_df, labels], axis=1)
 
     table = pa.Table.from_pandas(output_df)
