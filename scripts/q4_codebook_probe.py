@@ -1,17 +1,19 @@
 #!/usr/bin/env python
 """End-task A/B of candidate 4-bit transport codebooks, host-simulated.
 
-The shipped q4 transport (global-peak mu-law, 3 magnitude bits) measures a
-real quality tax (~-2.3% accuracy, kappa(q4,f32) ~0.967 on the
-q8_quality.py protocol) because a spiky channel's global peak squeezes the
-inter-beat baseline into the bottom mu-law levels. This probe reuses the
+The ORIGINAL q4 transport (global-peak mu-law, 3 magnitude bits; retired
+round 4) measured a real quality tax (~-2.3% accuracy, kappa(q4,f32)
+~0.967 on the q8_quality.py protocol) because a spiky channel's global
+peak squeezes the inter-beat baseline into the bottom mu-law levels; this
+probe is what selected its replacement — the block-DPCM codebook that
+ships today (pipeline.Q4NightExtractor). It reuses the
 EXACT q8_quality protocol (same corpus seeds, same trained weights, same
 lossless-f32 reference logits) and evaluates alternative 4-bit
 reconstruction schemes by quantize/dequantizing the decoded f32 grid on
 the host and running the reference f32 forward over the reconstruction:
 
-- global-mulaw     the shipped q4 codebook (methodology anchor: its row
-                   should reproduce the real q4 rung's acc_delta)
+- global-mulaw     the RETIRED round-3 q4 codebook (methodology anchor:
+                   its row reproduces that codec's measured acc_delta)
 - block-linear-K   per-K-sample-block peak scale, 15 uniform levels
 - dpcm-K           closed-loop first-order DPCM: 15-level quantization of
                    the prediction residual, block scale = the block's
@@ -47,7 +49,7 @@ def _blocks(x: np.ndarray, K: int) -> tuple[np.ndarray, int]:
 
 
 def global_mulaw4(x: np.ndarray) -> np.ndarray:
-    """The shipped q4 codebook (pipeline._q4_requant_lut semantics)."""
+    """The retired global-mu-law q4 codebook (round-3 semantics)."""
     mu = 255.0
     V = max(1.0, float(np.abs(x).max()))
     q = np.rint(7.0 * np.log1p(mu * np.clip(np.abs(x) / V, 0, 1)) / np.log1p(mu))
@@ -118,7 +120,7 @@ def dpcm4_parallel(x: np.ndarray, K: int) -> np.ndarray:
 
 
 SCHEMES = {
-    'global-mulaw (shipped q4)': (global_mulaw4, 0.0),
+    'global-mulaw (retired r3 q4)': (global_mulaw4, 0.0),
     'block-linear K=16': (lambda x: block_linear4(x, 16), 1 / 16),
     'block-linear K=64': (lambda x: block_linear4(x, 64), 1 / 64),
     'dpcm K=64': (lambda x: dpcm4(x, 64), 1 / 64),
