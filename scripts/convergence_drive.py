@@ -180,6 +180,10 @@ def drive(root: str, args, extra: list[str]) -> dict:
         'training.test_batch_size=8',
         'test=true',
         'restore_best=true',
+        # Shadow q16 eval each epoch: one run answers whether best-epoch
+        # selection would differ under the cheaper eval transport
+        # (VERDICT r4 item 8); selection itself stays lossless.
+        'shadow_eval_transport=q16',
         'precision=bfloat16',
         'input_transport=q8',
         'num_cpus=1',
@@ -209,7 +213,27 @@ def selection_evidence(metrics_fp: str, epoch_cap: int) -> dict:
     best_epoch = min(val, key=val.get)
     lr_values = sorted(set(lr.values()), reverse=True)
     reductions = [e for e in sorted(lr)[1:] if lr[e] < lr[e - 1] * 0.999]
+    # Eval-transport A/B (VERDICT r4 item 8): the shadow q16 series logged
+    # alongside the lossless one — would best-epoch selection have differed?
+    shadow = {
+        e: r['val_loss_q16'] for e, r in sorted(epochs.items()) if 'val_loss_q16' in r
+    }
+    ab = None
+    if shadow:
+        common = sorted(set(val) & set(shadow))
+        best_q16 = min(common, key=lambda e: shadow[e])
+        ab = {
+            'shadow_transport': 'q16',
+            'epochs_compared': len(common),
+            'best_epoch_lossless': min(common, key=lambda e: val[e]),
+            'best_epoch_q16': best_q16,
+            'selection_agrees': min(common, key=lambda e: val[e]) == best_q16,
+            'max_abs_val_loss_delta': round(
+                max(abs(val[e] - shadow[e]) for e in common), 8
+            ),
+        }
     return {
+        'eval_transport_ab': ab,
         'epochs_run': last_epoch + 1,
         'epoch_cap': epoch_cap,
         'early_stopped': last_epoch + 1 < epoch_cap,

@@ -169,6 +169,7 @@ def main(argv: list[str] | None = None) -> dict:
         precision=cfg['precision'],
         input_transport=cfg.get('input_transport'),
         eval_transport=cfg.get('eval_transport'),
+        shadow_eval_transport=cfg.get('shadow_eval_transport'),
         seed=cfg['seed'],
         log_dir=log_dir,
         mesh=mesh,

@@ -45,6 +45,26 @@ def test_selection_evidence_all_three_claims(tmp_path):
     assert ev['plateau_lr_reduced'] is True
     assert ev['lr_reduction_epochs'] == [6]
     assert ev['distinct_lr_values'] == [1e-3, 1e-4]
+    assert ev['eval_transport_ab'] is None  # no shadow series logged
+
+
+def test_selection_evidence_eval_transport_ab(tmp_path):
+    """The shadow val_loss_q16 series yields the lossless-vs-q16 best-epoch
+    A/B (VERDICT r4 item 8): agreement flag + max per-epoch delta."""
+    fp = tmp_path / 'metrics.jsonl'
+    val = [1.0, 0.8, 0.70, 0.75, 0.9]
+    q16 = [1.0001, 0.8002, 0.7501, 0.7499, 0.9001]  # best flips 2 -> 3
+    rows = []
+    for e in range(5):
+        rows.append({'step': e, 'val_loss': val[e], 'lr': 1e-3})
+        rows.append({'step': e, 'val_loss_q16': q16[e]})
+    _write_metrics(fp, rows)
+    ab = cd.selection_evidence(str(fp), epoch_cap=60)['eval_transport_ab']
+    assert ab['shadow_transport'] == 'q16'
+    assert ab['epochs_compared'] == 5
+    assert ab['best_epoch_lossless'] == 2 and ab['best_epoch_q16'] == 3
+    assert ab['selection_agrees'] is False
+    assert ab['max_abs_val_loss_delta'] == round(max(abs(a - b) for a, b in zip(val, q16)), 8)
 
 
 def test_selection_evidence_detects_cap_run(tmp_path):

@@ -243,3 +243,36 @@ def test_evaluate_with_eval_transport(tmp_path):
 
     with pytest.raises(ValueError, match='eval_transport'):
         make_trainer(root, str(tmp_path / 'run2'), eval_transport='bogus')
+
+
+def test_shadow_eval_transport_logs_ab_series(tmp_path):
+    """shadow_eval_transport='q16': each VAL epoch logs a val_loss_q16 row
+    alongside the lossless val_loss it did NOT use for selection; the shadow
+    value tracks the primary to ~1e-3 and the returned metrics are unchanged
+    (selection semantics stay lossless)."""
+    import json
+
+    from test_trainer_smoke import make_trainer, write_corpus
+
+    root = tmp_path / 'corpus'
+    write_corpus(root, nights_per_split=2)
+    trainer = make_trainer(root, str(tmp_path / 'run'), shadow_eval_transport='q16')
+    trainer._ensure_state(next(iter(trainer.datamodule.train_loader(0))))
+    out = trainer.evaluate('val', 0)
+    assert 'val_loss_q16' not in out  # logged, never returned
+    rows = [
+        json.loads(line)
+        for line in open(trainer.metrics_logger.fp)
+    ]
+    shadow = [r for r in rows if 'val_loss_q16' in r]
+    assert len(shadow) == 1 and shadow[0]['step'] == 0
+    assert shadow[0]['val_loss_q16'] == pytest.approx(out['val_loss'], abs=2e-3)
+    assert shadow[0]['val_shadow_eval_seconds'] >= 0
+    # test mode takes no shadow pass (selection only ever reads val).
+    trainer.shadow_eval_transport = 'q8'
+    trainer.evaluate('test', 0)
+    rows = [json.loads(line) for line in open(trainer.metrics_logger.fp)]
+    assert not any('test_loss_q8' in r for r in rows)
+
+    with pytest.raises(ValueError, match='shadow_eval_transport'):
+        make_trainer(root, str(tmp_path / 'run2'), shadow_eval_transport='bogus')

@@ -195,6 +195,14 @@ class Trainer:
     # Decoded on device inside the jitted eval step. predict()/export are
     # always lossless.
     eval_transport: Optional[str] = None
+    # Shadow eval transport: when set, every VAL epoch ALSO re-runs the val
+    # loaders (no subsets) under this transport and logs the resulting
+    # aggregate as ``val_loss_<transport>`` to metrics.jsonl. Selection
+    # (early stopping, best-checkpoint, plateau) keeps using the primary
+    # transport's val_loss — the shadow series exists to answer, from one
+    # training run, whether best-epoch selection WOULD have differed under
+    # the cheaper transport (the lossless-vs-q16 default question).
+    shadow_eval_transport: Optional[str] = None
 
     state: TrainState = field(default=None, repr=False)
     current_epoch: int = 0
@@ -205,6 +213,11 @@ class Trainer:
         if self.eval_transport not in (None, 'q16', 'q8'):
             raise ValueError(
                 f'unknown eval_transport {self.eval_transport!r} (None, "q16" or "q8")'
+            )
+        if self.shadow_eval_transport not in (None, 'q16', 'q8'):
+            raise ValueError(
+                f'unknown shadow_eval_transport {self.shadow_eval_transport!r} '
+                '(None, "q16" or "q8")'
             )
         self.metrics_logger = MetricsLogger(self.log_dir, self.num_classes)
         self.early_stopping = EarlyStopping(patience=self.early_stopping_patience)
@@ -786,6 +799,30 @@ class Trainer:
                 loss_s, cmat_s = stats[subset]
                 results[f'{mode}_{sig_prefix}_loss_{ds_name}'] = loss_s
                 self.metrics_logger.log_confusion(cmat_s, epoch, prefix=f'{mode}_{sig_prefix}_{ds_name}')
+        if mode == VAL and self.shadow_eval_transport is not None:
+            # One extra pass over the val loaders under the shadow transport
+            # (no signal subsets — only the selection metric is at stake).
+            # The aggregation mirrors the primary val_loss exactly: the
+            # combined loader when present, else the per-dataset mean.
+            saved = self.eval_transport
+            self.eval_transport = self.shadow_eval_transport
+            t_shadow = time.time()
+            try:
+                combined = None
+                per_ds = []
+                for ds_name, loader in self.datamodule.val_loaders():
+                    loss, _ = self._run_eval(loader, (), batch_size=eval_bs)[None]
+                    if ds_name == 'all':
+                        combined = loss
+                    else:
+                        per_ds.append(loss)
+            finally:
+                self.eval_transport = saved
+            if combined is not None or per_ds:
+                timings[f'{mode}_loss_{self.shadow_eval_transport}'] = float(
+                    combined if combined is not None else np.mean(per_ds)
+                )
+            timings[f'{mode}_shadow_eval_seconds'] = round(time.time() - t_shadow, 3)
         if mode == VAL and f'{mode}_loss' not in results:
             # No combined loader (e.g. census-only, which the combined list
             # excludes): early stopping / checkpoint selection still need a
