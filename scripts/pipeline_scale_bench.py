@@ -1,0 +1,155 @@
+#!/usr/bin/env python
+"""Host input pipeline at corpus scale (VERDICT r4 item 5).
+
+Every prior throughput number fed the chip from a handful of page-warm
+nights; the largest corpus a fit had ever streamed was 128. This harness
+answers the open question — does the 1-core host loader (parquet read ->
+decode -> collate -> q8 encode, threaded batch_iterator + epoch-seeded
+shuffle) sustain the chip's step time over ~1,000 DISTINCT ingested nights
+(reference scale: 16,368 vendored session ids,
+/root/reference/src/wav2sleep/data/splits/)?
+
+Corpus phase (CPU, run once):
+
+    python scripts/convergence_drive.py --prepare --root .cache/pipeline_scale_r5 \
+        --nights 1000 --label-noise 0.0 --signals cardio
+
+Measure phase (TPU):
+
+    python scripts/pipeline_scale_bench.py
+
+drives the production ``scripts/train.py`` for ``--epochs`` full epochs with
+the q8 training transport, then distils per-epoch throughput and the
+host-loader fraction (train/loop.py logs ``host_loader_frac``: seconds the
+host spent producing batches over the epoch wall time — the loader-stall
+metric) from the run's metrics.jsonl into a committed JSON artifact.
+
+Caveat recorded in the artifact: the measurement host has 125 GB RAM, so the
+~18 GB corpus is page-cached after the first epoch. Epoch 0 pays the cold
+file reads (plus the train-step compile, which DILUTES its loader fraction);
+epochs >= 1 measure the sustained decode+collate+encode path, which on this
+host is the loader cost that matters (NVMe-backed reads are not the
+bottleneck; the single-core decode is).
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def distil(metrics_fp: str, meta: dict) -> dict:
+    """Per-epoch loader evidence from a run's metrics.jsonl: ms/step,
+    host_loader_frac, derived epoch seconds; sustained (epoch >= 1) means."""
+    epochs = {}
+    with open(metrics_fp) as f:
+        for line in f:
+            row = json.loads(line)
+            if 'train_steps_per_sec' in row:
+                epochs[row['step']] = row
+    if not epochs:
+        raise RuntimeError(f'no train rows in {metrics_fp}')
+    steps = meta.get('steps_per_epoch')
+    rows = []
+    for e, r in sorted(epochs.items()):
+        sps = r['train_steps_per_sec']
+        rows.append(
+            {
+                'epoch': e,
+                'ms_per_step': round(1000.0 / sps, 2),
+                'host_loader_frac': r.get('host_loader_frac'),
+                'epoch_seconds': round(steps / sps, 1) if steps else None,
+            }
+        )
+    sustained = [r for r in rows if r['epoch'] >= 1] or rows
+    return {
+        **meta,
+        'epochs': rows,
+        'sustained_ms_per_step': round(
+            sum(r['ms_per_step'] for r in sustained) / len(sustained), 2
+        ),
+        'sustained_host_loader_frac': round(
+            sum(r['host_loader_frac'] for r in sustained) / len(sustained), 4
+        ),
+        'cold_epoch0_ms_per_step': rows[0]['ms_per_step'],
+    }
+
+
+def main(argv=None) -> dict | None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument('--root', default=os.path.join(REPO, '.cache', 'pipeline_scale_r5'))
+    ap.add_argument('--epochs', type=int, default=3)
+    ap.add_argument('--batch-size', type=int, default=4)
+    ap.add_argument('--out', default=os.path.join(REPO, 'docs', 'measurements', 'pipeline_scale_r5.json'))
+    ap.add_argument('--distil-only', metavar='RUN_DIR', default=None,
+                    help='skip the fit; distil an existing run dir')
+    args = ap.parse_args(argv)
+
+    name = 'r5_pipeline_scale'
+    if args.distil_only:
+        run_dir = args.distil_only
+    else:
+        import importlib.util
+
+        spec = importlib.util.spec_from_file_location(
+            'train_cli', os.path.join(REPO, 'scripts', 'train.py')
+        )
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        os.environ['WAV2SLEEP_DATA'] = os.path.join(args.root, 'data')
+        os.environ['WAV2SLEEP_STORAGE'] = os.path.join(args.root, 'storage')
+        t0 = time.time()
+        mod.main(
+            [
+                f'name={name}',
+                'datasets=mesa',
+                'inputs=cardiorespiratory/all',
+                f'epochs={args.epochs}',
+                f'batch_size={args.batch_size}',
+                f'target_batch_size={args.batch_size}',
+                'precision=bfloat16',
+                'input_transport=q8',
+                'training.val_batch_size=8',
+                'test=false',
+                'restore_best=false',
+                'num_cpus=1',
+            ]
+        )
+        print(f'[scale] fit wall {time.time() - t0:.0f}s', flush=True)
+        run_dirs = sorted(glob.glob(os.path.join(args.root, 'storage', 'logs', name, '*', '*')))
+        run_dir = run_dirs[-1]
+
+    train_fps = glob.glob(os.path.join(args.root, 'data', 'mesa', 'train', '*.parquet'))
+    n_train = len(train_fps)
+    corpus_bytes = sum(os.path.getsize(fp) for fp in train_fps)
+    meta = {
+        'train_nights': n_train,
+        'corpus_gib': round(corpus_bytes / 2**30, 2),
+        'batch_size': args.batch_size,
+        'steps_per_epoch': -(-n_train // args.batch_size),
+        'input_transport': 'q8',
+        'precision': 'bfloat16',
+        'cache_caveat': (
+            'epoch 0 pays cold file reads (and its loader fraction is diluted '
+            'by the train-step compile); the corpus fits host page cache from '
+            'epoch 1, so sustained rows measure decode+collate+encode, not disk'
+        ),
+    }
+    out = distil(os.path.join(run_dir, 'metrics.jsonl'), meta)
+    out['run_dir'] = run_dir
+    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    with open(args.out, 'w') as f:
+        json.dump(out, f, indent=2)
+    print(json.dumps({k: v for k, v in out.items() if k != 'epochs'}), flush=True)
+    return out
+
+
+if __name__ == '__main__':
+    main()
