@@ -87,3 +87,17 @@ def test_missing_inf_zeroing_contract():
     k = jnp.asarray(rng.normal(size=(3, 16, 16)) * 0.2, jnp.float32)
     y = pallas_conv.sd_conv(x, k, jnp.zeros((16,)), 1)
     assert bool(jnp.isfinite(y).all())
+
+
+def test_pick_tile_scales_with_dtype_width():
+    """The per-operand tile budget is BYTES, calibrated at bf16: an f32
+    operand at the same shape gets half the rows (the r5 EOG drive's f32
+    eval graph overflowed Mosaic's 16 MiB scoped-vmem stack at the bf16
+    tile size). Predicates keep the 2-byte default, so path eligibility
+    never depends on eval precision."""
+    nb, d_in = 1 << 15, 256
+    tb_bf16 = pallas_conv._pick_tile(nb, d_in)
+    tb_f32 = pallas_conv._pick_tile(nb, d_in, elem_bytes=4)
+    assert tb_f32 == tb_bf16 // 2
+    assert tb_bf16 * d_in * 2 <= pallas_conv._MAX_TILE_ELEMS * 2
+    assert tb_f32 * d_in * 4 <= pallas_conv._MAX_TILE_ELEMS * 2

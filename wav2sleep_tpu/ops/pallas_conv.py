@@ -75,9 +75,21 @@ def embed_sd_weights(kernel: jnp.ndarray, r: int, stride: int = 1):
     return WA, WB, WC
 
 
-def _pick_tile(nb: int, d_in: int) -> int:
+def _pick_tile(nb: int, d_in: int, elem_bytes: int = 2) -> int:
+    """Largest power-of-two row tile within the per-operand VMEM budget.
+
+    ``_MAX_TILE_ELEMS`` is calibrated for 2-byte (bf16) elements — the
+    production train/serving dtype; wider dtypes scale the element budget
+    down so the scoped-VMEM BYTES stay constant. An f32 graph at the bf16
+    tile size overflows Mosaic's 16 MiB scoped-vmem stack at the deepest
+    EOG regroup shape (22.45M needed — the round-5 EOG drive's f32 eval
+    compile), while the same shape in bf16 compiles and runs; eligibility
+    predicates (``supported``/``blocks_supported``) stay dtype-free at the
+    2-byte default, so path selection never depends on eval precision —
+    f32 only shrinks the tile."""
+    budget = (_MAX_TILE_ELEMS * 2) // max(elem_bytes, 1)
     tb = 4096
-    while tb >= 8 and (nb % tb != 0 or tb * d_in > _MAX_TILE_ELEMS):
+    while tb >= 8 and (nb % tb != 0 or tb * d_in > budget):
         tb //= 2
     return tb
 
@@ -264,7 +276,7 @@ def _sd_core_local(xb, WA, WB, WC, bias_tiled, shift, scale,
     B, rows, lane = xb.shape
     raw = lane != D_in  # native 128-lane layout; kernel regroups
     N = rows if not raw else (rows * 128) // D_in
-    TB = _pick_tile(N, D_in)
+    TB = _pick_tile(N, D_in, xb.dtype.itemsize)
     nT = N // TB
     P = 8 if not raw else (8 * 128) // D_in  # x'-rows per 8-row panel
     npan = TB // P  # boundary panels per tile
@@ -366,7 +378,7 @@ def _sd_core_stats_local(xb, WA, WB, WC, bias_tiled, shift, scale, sel, selT,
     B, rows, lane = xb.shape
     raw = lane != D_in
     N = rows if not raw else (rows * 128) // D_in
-    TB = _pick_tile(N, D_in)
+    TB = _pick_tile(N, D_in, xb.dtype.itemsize)
     nT = N // TB
     P = 8 if not raw else (8 * 128) // D_in
     npan = TB // P
