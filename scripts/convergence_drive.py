@@ -190,7 +190,24 @@ def drive(root: str, args, extra: list[str]) -> dict:
     ]
     if args.signals == 'eog':
         overrides.append('num_classes=5')
+        # The EOG topology ships ~20 MB PER-SIGNAL H2D transfers (4,096 spe
+        # x 1,200 epochs x batch 4, q8) — 4x cardio's largest — and on the
+        # v5e relay tunnel a mid-epoch D2H metric fetch racing those
+        # transfers nondeterministically LOSES ITS REPLY: jax.Array.__array__
+        # blocks forever (3 wedges observed 2026-08-21, faulthandler stacks
+        # all in array._value; every block_until_ready across the same runs
+        # was wedge-free). Mitigation: defer the drain past the epoch
+        # (24 steps/epoch here), so the only metric fetch runs at the epoch
+        # boundary on a quiet link. HBM cost: <= steps/epoch staged batches
+        # (~1 GB), nothing for a 16 GB chip.
+        overrides += ['training.metric_fetch_every=64']
+    # Stall watchdog: if the run wedges (e.g. transport flow-control), dump
+    # every thread's stack to stderr every 10 min so the log shows WHERE.
+    import faulthandler
+
+    faulthandler.dump_traceback_later(600, repeat=True)
     final = mod.main(overrides + extra)
+    faulthandler.cancel_dump_traceback_later()
     final['drive_wall_seconds'] = round(time.time() - t0, 1)
     return final
 

@@ -170,6 +170,11 @@ def main(argv: list[str] | None = None) -> dict:
         input_transport=cfg.get('input_transport'),
         eval_transport=cfg.get('eval_transport'),
         shadow_eval_transport=cfg.get('shadow_eval_transport'),
+        # Transfer-pipeline depth (training/main.yaml): bounds in-flight H2D
+        # bytes on relay-attached TPUs with large batches.
+        metric_fetch_every=int(tcfg.get('metric_fetch_every', 16)),
+        eval_fetch_every=int(tcfg.get('eval_fetch_every', 16)),
+        stage_ring=int(tcfg.get('stage_ring', 4)),
         seed=cfg['seed'],
         log_dir=log_dir,
         mesh=mesh,

@@ -32,6 +32,7 @@ import numpy as np
 
 from ..settings import CCSHS, CFS, CHAT, ECG, MESA, PPG, SHHS, THX, TRAIN, VAL
 from .datamodule import SleepDataModule
+from ..utils import robust_fetch
 from .masker import SignalMasker, validate_batch
 from .scheduler import PlateauController, exp_warmup_schedule
 from .step import (
@@ -471,7 +472,9 @@ class Trainer:
         def drain():
             for m in pending:
                 losses.append(m['loss'])
-                cmat_np = np.asarray(m['cmat'], np.int64)
+                # robust_fetch: on the relay tunnel a plain np.asarray here
+                # can block forever on a lost D2H reply (utils.robust_fetch).
+                cmat_np = robust_fetch(m['cmat']).astype(np.int64)
                 np.add(cmat, cmat_np, out=cmat)
             pending.clear()
             self._drain_host_ema()
@@ -509,7 +512,7 @@ class Trainer:
         self._release_ring()
         if not losses:
             raise ValueError('Empty training epoch - no batches produced.')
-        loss = float(jnp.mean(jnp.stack(losses)))
+        loss = float(robust_fetch(jnp.mean(jnp.stack(losses))))
         elapsed = time.time() - t0
         out = {
             'train_loss': loss,
@@ -708,14 +711,14 @@ class Trainer:
 
         def drain():
             for key, out in pending:
-                cmat = np.asarray(out['cmat'], np.int64)
+                cmat = robust_fetch(out['cmat']).astype(np.int64)
                 # Weight each batch's mean loss by its scored-epoch count
                 # (the cmat total): an unweighted mean of batch means lets
                 # a 1-night final partial batch count as much as a full
                 # batch, biasing val_loss — and early stopping / best-
                 # checkpoint selection with it. The reference's Lightning
                 # on_epoch reduction is sample-weighted the same way.
-                losses[key].append((float(out['loss']), int(cmat.sum())))
+                losses[key].append((float(robust_fetch(out['loss'])), int(cmat.sum())))
                 cmats[key] += cmat
             pending.clear()
 
@@ -909,15 +912,15 @@ class Trainer:
             Bp = y_pad.shape[0]
             batch = self._device_batch(x, y_pad)  # one transfer, all variants
             out = self._jit_eval(params, self.state.batch_stats, batch, None)
-            outputs['preds'].append(np.asarray(out['preds'])[:B])
+            outputs['preds'].append(robust_fetch(out['preds'])[:B])
             if want_ecg:
                 present = {k: np.full((Bp,), k == ECG, bool) for k in x}
                 out = self._jit_eval(params, self.state.batch_stats, batch, present)
-                outputs.setdefault(f'preds_{ECG}', []).append(np.asarray(out['preds'])[:B])
+                outputs.setdefault(f'preds_{ECG}', []).append(robust_fetch(out['preds'])[:B])
             if want_ecg_thx:
                 present = {k: np.full((Bp,), k in (ECG, THX), bool) for k in x}
                 out = self._jit_eval(params, self.state.batch_stats, batch, present)
-                outputs.setdefault(f'preds_{ECG}_{THX}', []).append(np.asarray(out['preds'])[:B])
+                outputs.setdefault(f'preds_{ECG}_{THX}', []).append(robust_fetch(out['preds'])[:B])
         return {k: np.concatenate(v, axis=0) for k, v in outputs.items()}
 
     def restore(self, path: str, manager=None) -> int:

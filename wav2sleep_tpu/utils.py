@@ -8,8 +8,10 @@ per TPU-VM host).
 from __future__ import annotations
 
 import functools
+import logging
 import queue
 import random
+import threading
 
 import numpy as np
 
@@ -64,3 +66,77 @@ def stop_aware_put(q, stop, item, poll: float = 0.2) -> bool:
         except queue.Full:
             continue
     return False
+
+
+def _fetch_once(x, timeout: float):
+    """np.asarray(x) in a watchdog thread; (value, True) on completion,
+    (None, False) if the fetch is still blocked after ``timeout`` seconds
+    (the worker is a daemon and is abandoned — if its reply ever does
+    arrive the result is simply discarded)."""
+    out: dict = {}
+
+    def run():
+        try:
+            out['v'] = np.asarray(x)
+        except BaseException as e:  # noqa: BLE001 — surfaced to the caller
+            out['e'] = e
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    t.join(timeout)
+    if 'e' in out:
+        raise out['e']
+    if 'v' in out:
+        return out['v'], True
+    return None, False
+
+
+def _rematerialize(x):
+    """Copy ``x`` into a FRESH device buffer (x + 0, dtype-exact — ints and
+    IEEE floats are unchanged by adding zero) so a retry fetch is a brand-new
+    transport request on a new buffer, not a second wait on the same one."""
+    import jax.numpy as jnp
+
+    return jnp.add(x, jnp.zeros((), x.dtype))
+
+
+def robust_fetch(x, timeout: float = 120.0, retries: int = 3):
+    """Device->host fetch that survives a lost transfer reply (SURVEY §5.3
+    failure-detection role).
+
+    On relay-attached TPUs (remote tunnel, CLAUDE.md), ``Array.__array__``
+    can block FOREVER: the fetch's reply is occasionally dropped in transit
+    (observed repeatedly on the v5e tunnel 2026-08-21 — faulthandler stacks
+    in ``jax/_src/array.py:_value`` with an idle link, while every
+    ``block_until_ready`` in the same runs completed). Execution and H2D
+    dispatch are reliable; only the D2H reply is lossy. So: run the fetch
+    under a watchdog; on timeout, re-materialize the value into a fresh
+    device buffer (``x + 0``) whose fetch is a NEW request, and try again.
+
+    A premature timeout is safe, not a correctness hazard: the retry simply
+    dispatches a trivial add and blocks on the same queue, so the only cost
+    is one tiny kernel. Raises RuntimeError after ``retries`` fresh-buffer
+    attempts so a truly poisoned buffer fails loudly instead of hanging the
+    training loop.
+
+    Plain numpy/scalars pass straight through.
+    """
+    import jax
+
+    if not isinstance(x, jax.Array):
+        return np.asarray(x)
+    v, ok = _fetch_once(x, timeout)
+    attempt = 0
+    while not ok and attempt < retries:
+        attempt += 1
+        logging.getLogger(__name__).warning(
+            'D2H fetch blocked >%.0fs (lost reply?) — rematerializing into a '
+            'fresh buffer, retry %d/%d', timeout, attempt, retries
+        )
+        v, ok = _fetch_once(_rematerialize(x), timeout)
+    if not ok:
+        raise RuntimeError(
+            f'device fetch failed: no reply after {retries} fresh-buffer '
+            f'retries x {timeout:.0f}s (shape {getattr(x, "shape", "?")})'
+        )
+    return v
