@@ -154,11 +154,14 @@ def prepare(root: str, nights: int, hours: float, seed: int, args) -> None:
 
 
 def drive(root: str, args, extra: list[str]) -> dict:
-    import importlib.util
+    """Run the fit SUPERVISED (train/supervise.py): scripts/train.py in a
+    subprocess pinned to one run_dir, stall-watchdogged, restarted from the
+    last epoch checkpoint on a transport wedge (docs/design.md "Transport
+    fault tolerance" — the relay's D2H reply path can die mid-run, and only
+    a fresh process recovers the channel)."""
+    import json as _json
 
-    spec = importlib.util.spec_from_file_location('train_cli', os.path.join(REPO, 'scripts', 'train.py'))
-    mod = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(mod)
+    from wav2sleep_tpu.train.supervise import run_supervised
 
     inputs = 'neural/eog' if args.signals == 'eog' else 'cardiorespiratory/all'
     os.environ['WAV2SLEEP_DATA'] = os.path.join(root, 'data')
@@ -191,23 +194,15 @@ def drive(root: str, args, extra: list[str]) -> dict:
     if args.signals == 'eog':
         overrides.append('num_classes=5')
         # The EOG topology ships ~20 MB PER-SIGNAL H2D transfers (4,096 spe
-        # x 1,200 epochs x batch 4, q8) — 4x cardio's largest — and on the
-        # v5e relay tunnel a mid-epoch D2H metric fetch racing those
-        # transfers nondeterministically LOSES ITS REPLY: jax.Array.__array__
-        # blocks forever (3 wedges observed 2026-08-21, faulthandler stacks
-        # all in array._value; every block_until_ready across the same runs
-        # was wedge-free). Mitigation: defer the drain past the epoch
-        # (24 steps/epoch here), so the only metric fetch runs at the epoch
-        # boundary on a quiet link. HBM cost: <= steps/epoch staged batches
-        # (~1 GB), nothing for a 16 GB chip.
+        # x 1,200 epochs x batch 4, q8) — 4x cardio's largest — and under
+        # that traffic the relay's reply path dies far more often, so also
+        # minimize the fetch count: defer the metric drain past the 24-step
+        # epoch (HBM cost <= steps/epoch staged batches, ~1 GB).
         overrides += ['training.metric_fetch_every=64']
-    # Stall watchdog: if the run wedges (e.g. transport flow-control), dump
-    # every thread's stack to stderr every 10 min so the log shows WHERE.
-    import faulthandler
-
-    faulthandler.dump_traceback_later(600, repeat=True)
-    final = mod.main(overrides + extra)
-    faulthandler.cancel_dump_traceback_later()
+    run_dir = os.path.join(root, 'storage', 'logs', args.name, 'supervised', 'run')
+    run_supervised(overrides + extra, run_dir)
+    with open(os.path.join(run_dir, 'final_metrics.json')) as f:
+        final = _json.load(f)
     final['drive_wall_seconds'] = round(time.time() - t0, 1)
     return final
 

@@ -15,6 +15,7 @@ mesh; gradient accumulation arithmetic mirrors the reference
 
 from __future__ import annotations
 
+import json
 import logging
 import os
 import sys
@@ -144,7 +145,9 @@ def main(argv: list[str] | None = None) -> dict:
         pad_to_epochs=cfg.get('pad_to_epochs'),
     )
 
-    log_dir = os.path.join(cfg['log_root'], 'logs', cfg['name'], time.strftime('%Y-%m-%d/%H-%M-%S'))
+    log_dir = cfg.get('run_dir') or os.path.join(
+        cfg['log_root'], 'logs', cfg['name'], time.strftime('%Y-%m-%d/%H-%M-%S')
+    )
     trainer = Trainer(
         model=model,
         datamodule=dm,
@@ -200,6 +203,10 @@ def main(argv: list[str] | None = None) -> dict:
     logger.info(f'Exported deployable checkpoint to {export_dir}')
     # Job wall time (the reference's hydra TimerCallback role, SURVEY.md §5.1).
     logger.info(f'Job wall time: {time.time() - t_start:.1f}s')
+    # Persist the final metric dict: a supervised run (train/supervise.py)
+    # launches main() in a subprocess and cannot see the return value.
+    with open(os.path.join(log_dir, 'final_metrics.json'), 'w') as f:
+        json.dump({k: float(v) for k, v in final.items()}, f, indent=2)
     return final
 
 
