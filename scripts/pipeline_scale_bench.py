@@ -96,17 +96,17 @@ def main(argv=None) -> dict | None:
     if args.distil_only:
         run_dir = args.distil_only
     else:
-        import importlib.util
+        from wav2sleep_tpu.train.supervise import run_supervised
 
-        spec = importlib.util.spec_from_file_location(
-            'train_cli', os.path.join(REPO, 'scripts', 'train.py')
-        )
-        mod = importlib.util.module_from_spec(spec)
-        spec.loader.exec_module(mod)
         os.environ['WAV2SLEEP_DATA'] = os.path.join(args.root, 'data')
         os.environ['WAV2SLEEP_STORAGE'] = os.path.join(args.root, 'storage')
+        run_dir = os.path.join(args.root, 'storage', 'logs', name, 'supervised', 'run')
         t0 = time.time()
-        mod.main(
+        # Supervised (train/supervise.py): today's relay weather kills the
+        # D2H reply channel mid-run; a stalled/transport-dead attempt is
+        # killed and resumed from the last epoch checkpoint, appending to
+        # the same metrics.jsonl this harness distils.
+        run_supervised(
             [
                 f'name={name}',
                 'datasets=mesa',
@@ -120,11 +120,10 @@ def main(argv=None) -> dict | None:
                 'test=false',
                 'restore_best=false',
                 'num_cpus=1',
-            ]
+            ],
+            run_dir,
         )
         print(f'[scale] fit wall {time.time() - t0:.0f}s', flush=True)
-        run_dirs = sorted(glob.glob(os.path.join(args.root, 'storage', 'logs', name, '*', '*')))
-        run_dir = run_dirs[-1]
 
     train_fps = glob.glob(os.path.join(args.root, 'data', 'mesa', 'train', '*.parquet'))
     n_train = len(train_fps)

@@ -36,6 +36,13 @@ FAKE = textwrap.dedent(
     if mode == 'crash':
         print('boom', flush=True)
         sys.exit(3)
+    if mode == 'transport_then_ok' and n == 0:
+        os.makedirs(os.path.join(run_dir, 'checkpoints', 'last'), exist_ok=True)
+        print('RuntimeError: device fetch failed: no reply after 2 '
+              'fresh-buffer retries x 90s', flush=True)
+        sys.exit(1)  # robust_fetch death: loud exit, log stays fresh
+    if mode == 'transport_then_ok':
+        assert args.get('ckpt_path') == 'last', sys.argv
     with open(os.path.join(run_dir, 'final_metrics.json'), 'w') as f:
         json.dump({'ok': 1.0, 'attempt': float(n)}, f)
     print('done', flush=True)
@@ -55,7 +62,11 @@ def test_stall_is_killed_and_resumed(fake_script, tmp_path):
     log_fp = run_supervised(
         ['mode=stall_then_ok'],
         run_dir,
-        stall_timeout=4.0,
+        # Generous vs the fake's instant first write: on the 1-core host a
+        # loaded background compile can delay child startup by seconds, and
+        # a too-tight timeout kills attempt 0 before it writes its
+        # checkpoint (flaky assert on the resume leg).
+        stall_timeout=10.0,
         poll=1.0,
         max_attempts=3,
         train_script=fake_script,
@@ -77,6 +88,18 @@ def test_clean_success_single_attempt(fake_script, tmp_path):
     )
     assert 'attempt0' in os.path.basename(log_fp)
     assert json.load(open(os.path.join(run_dir, 'final_metrics.json')))['attempt'] == 0.0
+
+
+def test_transport_death_is_retried_with_resume(fake_script, tmp_path):
+    """A robust_fetch death (non-zero exit whose log carries 'device fetch
+    failed') must be retried from the last checkpoint, unlike a real error."""
+    run_dir = str(tmp_path / 'run')
+    run_supervised(
+        ['mode=transport_then_ok'], run_dir, stall_timeout=30.0, poll=0.5,
+        max_attempts=3, train_script=fake_script, post_kill_grace=0.1,
+    )
+    final = json.load(open(os.path.join(run_dir, 'final_metrics.json')))
+    assert final['attempt'] == 1.0
 
 
 def test_real_error_is_not_retried(fake_script, tmp_path):

@@ -114,10 +114,21 @@ def run_supervised(
         if not stalled and rc == 0:
             return log_fp
         if not stalled:
-            tail = open(log_fp, 'rb').read()[-2000:].decode(errors='replace')
-            raise SupervisedRunFailed(
-                f'train.py exited rc={rc} on attempt {attempt} (not a stall; '
-                f'not retrying). Log tail:\n{tail}'
+            tail = open(log_fp, 'rb').read()[-4000:].decode(errors='replace')
+            # A robust_fetch death ("device fetch failed: no reply ...") is a
+            # transport failure, not a code error: the D2H channel died and
+            # the process exited loudly after bounded retries. Retry it like
+            # a stall — a fresh process gets fresh connections. (This path,
+            # not log-silence, is how drain wedges surface: robust_fetch's
+            # periodic warnings keep the log mtime fresh.)
+            if 'device fetch failed' not in tail:
+                raise SupervisedRunFailed(
+                    f'train.py exited rc={rc} on attempt {attempt} (not a '
+                    f'stall or transport failure; not retrying). Log tail:\n{tail}'
+                )
+            logger.warning(
+                'supervised attempt %d died of a transport failure (rc=%s) — '
+                'restarting from last checkpoint', attempt, rc,
             )
         # Stall path: give a lingering tunnel hold time to clear.
         time.sleep(post_kill_grace)

@@ -100,7 +100,7 @@ def _rematerialize(x):
     return jnp.add(x, jnp.zeros((), x.dtype))
 
 
-def robust_fetch(x, timeout: float = 120.0, retries: int = 3):
+def robust_fetch(x, timeout: float = 90.0, retries: int = 2):
     """Device->host fetch that survives a lost transfer reply (SURVEY §5.3
     failure-detection role).
 
