@@ -88,3 +88,28 @@ def test_worker_exception_propagates():
     # timeouts (a real decode error must not trigger transport retries).
     with pytest.raises(ValueError, match='decode failed'):
         U._fetch_once(Boom(), timeout=10.0)
+
+
+def test_d2h_heartbeat_beats_and_stops(monkeypatch):
+    """The heartbeat must issue periodic tiny fetches from start, and stop
+    cleanly (so suites don't leak a busy thread)."""
+    import time
+
+    calls = []
+    monkeypatch.setattr(U, '_fetch_once', lambda x, timeout: (calls.append(1), True)[1:] and (np.zeros(()), True))
+    U.stop_d2h_heartbeat()
+    U.start_d2h_heartbeat(interval=0.05)
+    try:
+        deadline = time.time() + 5.0
+        while len(calls) < 3 and time.time() < deadline:
+            time.sleep(0.05)
+        assert len(calls) >= 3
+        # Idempotent: a second start must not spawn a second thread.
+        t = U._HEARTBEAT['thread']
+        U.start_d2h_heartbeat(interval=0.05)
+        assert U._HEARTBEAT['thread'] is t
+    finally:
+        U.stop_d2h_heartbeat()
+    n = len(calls)
+    time.sleep(0.3)
+    assert len(calls) <= n + 1  # stopped (at most one in-flight beat)

@@ -844,6 +844,15 @@ class Trainer:
     def fit(self, resume_from: str | None = None) -> dict[str, float]:
         from .checkpointing import CheckpointManager
 
+        # Remote-attached devices: keep the D2H reply stream warm through
+        # the multi-minute train-step compile (utils.start_d2h_heartbeat —
+        # an idle stream is reaped orchestrator-side and the first metric
+        # fetch then blocks forever). No-op on local CPU backends.
+        if jax.default_backend() not in ('cpu',):
+            from ..utils import start_d2h_heartbeat
+
+            start_d2h_heartbeat()
+
         ckpt = CheckpointManager(os.path.join(self.log_dir, 'checkpoints'))
         start_epoch = 0
         if resume_from:

@@ -140,3 +140,60 @@ def robust_fetch(x, timeout: float = 90.0, retries: int = 2):
             f'retries x {timeout:.0f}s (shape {getattr(x, "shape", "?")})'
         )
     return v
+
+
+_HEARTBEAT = {'thread': None, 'stop': None}
+
+
+def start_d2h_heartbeat(interval: float = 60.0, timeout: float = 30.0) -> None:
+    """Keep the device->host reply stream warm (SURVEY §5.3).
+
+    The wedge signature behind ``robust_fetch`` (docs/design.md "Transport
+    fault tolerance") is consistently the PROCESS'S FIRST D2H data fetch
+    dying after many minutes of fetch-silence — large-graph compiles leave
+    the reply stream idle for 7-8 min, after which the orchestrator side
+    appears to tear it down (runs whose first fetch came sooner never
+    wedged). This daemon thread fetches one tiny device scalar every
+    ``interval`` seconds from process start, so the stream never idles
+    long enough to be reaped. A failed/blocked heartbeat is logged and the
+    thread keeps going — detection and restart belong to robust_fetch and
+    train/supervise.py, not here.
+
+    Idempotent; a no-op heartbeat costs one trivial kernel + a 4-byte
+    reply per minute.
+    """
+    if _HEARTBEAT['thread'] is not None and _HEARTBEAT['thread'].is_alive():
+        return
+    stop = threading.Event()
+
+    def run():
+        import time as _time
+
+        import jax
+        import jax.numpy as jnp
+
+        log = logging.getLogger(__name__)
+        n = 0
+        while not stop.is_set():
+            try:
+                # A fresh tiny buffer each beat: vary the value so no cache
+                # can elide the round-trip.
+                _, ok = _fetch_once(jnp.full((), n, jnp.int32), timeout)
+                if not ok:
+                    log.warning('D2H heartbeat %d got no reply in %.0fs', n, timeout)
+            except Exception as e:  # pragma: no cover - backend teardown races
+                log.debug('D2H heartbeat error: %s', e)
+            n += 1
+            stop.wait(interval)
+
+    t = threading.Thread(target=run, daemon=True, name='d2h-heartbeat')
+    t.start()
+    _HEARTBEAT['thread'] = t
+    _HEARTBEAT['stop'] = stop
+
+
+def stop_d2h_heartbeat() -> None:
+    if _HEARTBEAT['stop'] is not None:
+        _HEARTBEAT['stop'].set()
+    _HEARTBEAT['thread'] = None
+    _HEARTBEAT['stop'] = None
